@@ -1,0 +1,37 @@
+"""Test harness config: run all tests on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on CPU devices (the reference had no
+distributed tests at all — SURVEY.md §4.5); the driver separately
+dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
+
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_root():
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference repo not mounted")
+    return REFERENCE_ROOT
+
+
+@pytest.fixture(scope="session")
+def smoke_wav(reference_root):
+    path = os.path.join(reference_root, "data/smoke_test/LDC93S1.wav")
+    if not os.path.isfile(path):
+        pytest.skip("LDC93S1 smoke wav not available")
+    return path
