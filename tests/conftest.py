@@ -7,8 +7,10 @@ dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force (not setdefault):
+# the session environment pins JAX_PLATFORMS=axon for the real TPU tunnel,
+# but tests run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
