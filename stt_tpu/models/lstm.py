@@ -1,0 +1,91 @@
+"""Unidirectional LSTM as a time-major lax.scan.
+
+Cell semantics mirror the reference RNN (deepspeech_model.py:92-109,
+LSTMBlockFusedCell with forget_bias=0, no peepholes, no clipping):
+
+    z = [x_t, h_{t-1}] @ W + b          W: [n_in + n_cell, 4*n_cell]
+    i, g, f, o = split(z, 4)            gate order i, g(cell), f, o — the
+                                        TF LSTMCell "icfo" layout, kept so
+                                        reference checkpoints import 1:1
+    c_t = sigmoid(f) * c_{t-1} + sigmoid(i) * tanh(g)
+    h_t = sigmoid(o) * tanh(c_t)
+
+Sequence-length masking: for t >= seq_len the emitted output is 0 and the
+carried state freezes, so the final (c, h) is the state at each utterance's
+last valid frame (matches fused-cell behavior the streaming runtime relies
+on).
+
+The scan carries (c, h) so streaming inference can thread state across
+chunks (stt.cc:32-59 three-buffer design -> stream/ package).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def lstm_init(rng: jax.Array, n_in: int, n_cell: int, dtype=jnp.float32):
+    """Glorot-uniform kernel, zero bias."""
+    limit = (6.0 / (n_in + n_cell + 4 * n_cell)) ** 0.5
+    kernel = jax.random.uniform(
+        rng, (n_in + n_cell, 4 * n_cell), dtype, minval=-limit, maxval=limit
+    )
+    return {"kernel": kernel, "bias": jnp.zeros((4 * n_cell,), dtype)}
+
+
+def lstm_cell(params, x_t: jax.Array, c: jax.Array, h: jax.Array, precision=None):
+    """One step. x_t: [B, n_in]; c, h: [B, n_cell] -> (c_new, h_new)."""
+    z = (
+        jnp.matmul(
+            jnp.concatenate([x_t, h], axis=-1),
+            params["kernel"],
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        + params["bias"]
+    )
+    i, g, f, o = jnp.split(z, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return c_new, h_new
+
+
+def lstm_scan(
+    params,
+    x: jax.Array,
+    seq_len: jax.Array | None = None,
+    initial_state: Tuple[jax.Array, jax.Array] | None = None,
+    precision=None,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Time-major scan. x: [T, B, n_in] -> (outputs [T, B, n_cell], (c, h)).
+
+    seq_len: [B] valid lengths (None = all frames valid).
+    initial_state: (c, h) each [B, n_cell] (None = zeros).
+    """
+    T, B, _ = x.shape
+    n_cell = params["kernel"].shape[1] // 4
+    if initial_state is None:
+        c0 = jnp.zeros((B, n_cell), x.dtype)
+        h0 = jnp.zeros((B, n_cell), x.dtype)
+    else:
+        c0, h0 = initial_state
+
+    def step(carry, inp):
+        c, h = carry
+        x_t, t = inp
+        c_new, h_new = lstm_cell(params, x_t, c, h, precision=precision)
+        if seq_len is not None:
+            valid = (t < seq_len)[:, None]
+            c_new = jnp.where(valid, c_new, c)
+            out = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+            h_new = jnp.where(valid, h_new, h)
+        else:
+            out = h_new
+        return (c_new, h_new), out
+
+    ts = jnp.arange(T, dtype=jnp.int32)
+    (c, h), outputs = jax.lax.scan(step, (c0, h0), (x, ts))
+    return outputs, (c, h)

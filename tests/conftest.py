@@ -7,19 +7,26 @@ dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip.
 
 import os
 
-# Must be set before jax is imported anywhere. Force (not setdefault):
-# the session environment pins JAX_PLATFORMS=axon for the real TPU tunnel,
-# but tests run on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# XLA_FLAGS must be set before the CPU backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "")
 
+import jax  # noqa: E402
+
+# The axon sitecustomize hook calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, overriding JAX_PLATFORMS — tests would
+# silently run serially on the tunneled TPU. Force the config itself.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
+
+assert len(jax.devices()) == 8, jax.devices()
 
 REFERENCE_ROOT = "/root/reference"
 
