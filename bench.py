@@ -1,0 +1,74 @@
+"""Benchmark: batch acoustic-model inference throughput on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio_seconds_per_second",
+   "vs_baseline": N}
+
+Metric: audio-seconds of 16 kHz speech transcribed per wall-clock second
+by the full single-chip inference compute path (MFCC frontend + flagship
+DeepSpeech acoustic model forward + greedy best-path reduction) at the
+reference's default geometry (n_hidden=2048, ~48M params).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); its
+headline claim is "real-time inference" on edge CPUs, i.e. 1.0
+audio-second/s per stream. vs_baseline is therefore the real-time factor.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from stt_tpu.frontend import FeatureConfig, audio_to_mfcc
+    from stt_tpu.models import ModelConfig, apply_model, init_params
+    from stt_tpu.ctc.greedy import best_path
+
+    feature_config = FeatureConfig()
+    # bf16 compute: TPU-native MXU rate; params stay f32.
+    config = ModelConfig(compute_dtype="bfloat16")
+    params = init_params(jax.random.PRNGKey(0), config)
+
+    batch, seconds = 32, 10.0
+    n_samples = int(seconds * feature_config.sample_rate)
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray(rng.randn(batch, n_samples) * 0.1, jnp.float32)
+
+    def transcribe(params, audio):
+        feats = audio_to_mfcc(audio, feature_config)
+        t = feats.shape[1]
+        seq_len = jnp.full((audio.shape[0],), t, jnp.int32)
+        logits, _ = apply_model(params, feats, seq_len=seq_len, config=config)
+        return best_path(logits)
+
+    step = jax.jit(transcribe)
+    np.asarray(step(params, audio))  # compile + materialize
+
+    times = []
+    for i in range(5):
+        a = audio + jnp.float32(i * 1e-6)
+        t0 = time.time()
+        np.asarray(step(params, a))
+        times.append(time.time() - t0)
+    wall = min(times)
+    audio_seconds = batch * seconds
+    value = audio_seconds / wall
+
+    print(
+        json.dumps(
+            {
+                "metric": "single_chip_batch_inference_throughput",
+                "value": round(value, 1),
+                "unit": "audio_seconds_per_second",
+                "vs_baseline": round(value / 1.0, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+from stt_tpu.train.step import (
+    Batch,
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+__all__ = [
+    "Batch",
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+]

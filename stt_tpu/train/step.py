@@ -1,0 +1,125 @@
+"""The pjit train/eval steps.
+
+Replaces the reference's tower loop + CPU gradient averaging
+(train.py:147-235): here the whole step is one jit-compiled SPMD program
+over the ('data', 'model') mesh — the batch shards over 'data', gradients
+are reduced by XLA collectives over ICI, optimizer state lives with the
+params.
+
+Non-finite handling mirrors train.py:100-102: per-example CTC losses that
+come back inf/nan are masked out of the mean and reported in the step
+metrics so the caller can name the offending files.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stt_tpu.ctc import ctc_loss
+from stt_tpu.models import ModelConfig, apply_model
+from stt_tpu.models.deepspeech import Params, init_params
+
+
+class Batch(NamedTuple):
+    """One padded utterance batch (device layout: batch axis shards over
+    the mesh 'data' axis)."""
+
+    features: jax.Array  # [B, T, n_input] float32
+    feature_lengths: jax.Array  # [B] int32
+    labels: jax.Array  # [B, L] int32
+    label_lengths: jax.Array  # [B] int32
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Params
+    opt_state: optax.OptState
+
+
+class StepMetrics(NamedTuple):
+    loss: jax.Array  # mean finite loss
+    per_example_loss: jax.Array  # [B]
+    non_finite: jax.Array  # [B] bool — inf/nan loss (bad sample / length)
+    grad_norm: jax.Array
+
+
+def create_optimizer(
+    learning_rate=0.001, beta1=0.9, beta2=0.999, epsilon=1e-8
+) -> optax.GradientTransformation:
+    """Adam with the reference's defaults (train.py:120-133,
+    util/config.py epsilon/beta flags)."""
+    return optax.adam(learning_rate, b1=beta1, b2=beta2, eps=epsilon)
+
+
+def create_train_state(
+    rng: jax.Array,
+    config: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    params: Optional[Params] = None,
+) -> TrainState:
+    if params is None:
+        params = init_params(rng, config)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )
+
+
+def _loss_fn(params, batch: Batch, dropout_rng, config: ModelConfig):
+    logits, _ = apply_model(
+        params,
+        batch.features,
+        seq_len=batch.feature_lengths,
+        config=config,
+        dropout_rng=dropout_rng,
+    )
+    losses = ctc_loss(
+        logits, batch.feature_lengths, batch.labels, batch.label_lengths
+    )
+    finite = jnp.isfinite(losses)
+    n_finite = jnp.maximum(jnp.sum(finite), 1)
+    mean_loss = jnp.sum(jnp.where(finite, losses, 0.0)) / n_finite
+    return mean_loss, (losses, finite)
+
+
+def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation):
+    """Returns train_step(state, batch, rng) -> (state, StepMetrics).
+
+    Jit with donate_argnums=(0,) so params/opt state update in place on
+    device; under a mesh, pass sharded TrainState/Batch and XLA handles
+    the gradient psum.
+    """
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (loss, (losses, finite)), grads = grad_fn(
+            state.params, batch, dropout_rng, config
+        )
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, params, opt_state)
+        return new_state, StepMetrics(loss, losses, ~finite, grad_norm)
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(config: ModelConfig):
+    """eval_step(params, batch) -> (per-example loss [B], logits [B,T,C])."""
+
+    def eval_step(params, batch: Batch):
+        logits, _ = apply_model(
+            params, batch.features, seq_len=batch.feature_lengths, config=config
+        )
+        losses = ctc_loss(
+            logits, batch.feature_lengths, batch.labels, batch.label_lengths
+        )
+        return losses, logits
+
+    return jax.jit(eval_step)
