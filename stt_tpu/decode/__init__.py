@@ -1,0 +1,17 @@
+from stt_tpu.decode.beam import (
+    DecodeResult,
+    DecoderState,
+    ctc_beam_search_decoder,
+    ctc_beam_search_decoder_batch,
+)
+from stt_tpu.decode.trie import DictionaryTrie
+from stt_tpu.decode.scorer import ScorerBase
+
+__all__ = [
+    "DecodeResult",
+    "DecoderState",
+    "ctc_beam_search_decoder",
+    "ctc_beam_search_decoder_batch",
+    "DictionaryTrie",
+    "ScorerBase",
+]
