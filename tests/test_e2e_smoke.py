@@ -77,3 +77,21 @@ def test_overfit_and_decode(smoke_batch):
     # timesteps are monotonically increasing frame indices
     assert all(b > a for a, b in zip(steps, steps[1:]))
     assert float(losses[0]) < 1.0
+
+    # beam search without LM agrees
+    from stt_tpu.decode import ctc_beam_search_decoder
+
+    probs = np.asarray(jax.nn.softmax(logits[0], axis=-1))
+    [beam_res] = ctc_beam_search_decoder(probs, alphabet, beam_size=64)
+    assert beam_res.transcript == TRANSCRIPT
+
+    # beam search with the REFERENCE .scorer package (KenLM + FST trie)
+    scorer_path = "/root/reference/data/smoke_test/pruned_lm.scorer"
+    if os.path.isfile(scorer_path):
+        from stt_tpu.decode.scorer_package import KenLMScorer
+
+        scorer = KenLMScorer(scorer_path, alpha=0.75, beta=1.85)
+        [lm_res] = ctc_beam_search_decoder(
+            probs, alphabet, beam_size=64, scorer=scorer
+        )
+        assert lm_res.transcript == TRANSCRIPT
