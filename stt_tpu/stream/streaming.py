@@ -1,0 +1,228 @@
+"""Streaming inference runtime: chunked audio -> incremental transcripts.
+
+TPU-native re-design of the reference's three-buffer StreamingState
+(stt.cc:32-59,105-334):
+
+  audio buffer  -- residual samples until a full batch of MFCC windows
+                   exists (16 frames = (16-1)*step + window samples)
+  mfcc buffer   -- frames awaiting their full +/-n_context window
+  device state  -- LSTM (c, h) carried across chunks ON DEVICE; the only
+                   per-chunk host<->device traffic is the audio in and the
+                   16xC logits out
+
+Two jitted programs are shared by every stream of a model (compiled once):
+  mfcc_chunk:  [chunk_samples] audio -> [16, n_mfcc]
+  infer_chunk: ([1,16,window_input] windowed feats, seq_len, c, h)
+               -> (probs [16, C], c', h')
+Windowing 26-float frames is trivial host work and stays off-device.
+
+Behavior parity with the reference pipeline:
+- a frame is inferred only once its full right context exists (output
+  lags input by n_context frames);
+- finish pads n_context zero-MFCC frames (stt.cc:242-247) and drops a
+  trailing partial audio window;
+- int16 audio scales by 1/32768 (stt.cc:113);
+- seq-length masking freezes (c, h) past the last real frame of a padded
+  flush chunk, so a resumed stream would continue from the right state.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stt_tpu.alphabet import Alphabet
+from stt_tpu.decode import DecoderState
+from stt_tpu.decode.scorer import ScorerBase
+from stt_tpu.frontend import FeatureConfig, audio_to_mfcc
+from stt_tpu.models import ModelConfig, apply_model
+
+N_STEPS = 16  # timesteps per inference step (config.py:627-632 parity)
+
+
+class StreamingRuntime:
+    """Shared, stateless-per-stream compiled programs + config."""
+
+    def __init__(
+        self,
+        params,
+        model_config: ModelConfig,
+        feature_config: FeatureConfig,
+        alphabet: Alphabet,
+    ):
+        self.params = params
+        self.model_config = model_config
+        self.feature_config = feature_config
+        self.alphabet = alphabet
+        fc = feature_config
+        self.chunk_samples = (N_STEPS - 1) * fc.step_samples + fc.window_samples
+
+        def mfcc_chunk(audio):
+            return audio_to_mfcc(audio, fc)
+
+        def infer_chunk(params, windowed, seq_len, c, h):
+            logits, (c2, h2) = apply_model(
+                params,
+                windowed[None],
+                seq_len=seq_len[None],
+                config=model_config,
+                previous_state=(c[None], h[None]),
+                overlap=False,
+            )
+            probs = jax.nn.softmax(logits[0], axis=-1)
+            return probs, c2[0], h2[0]
+
+        self._mfcc_chunk = jax.jit(mfcc_chunk)
+        self._infer_chunk = jax.jit(infer_chunk)
+
+    def zero_state(self):
+        n = self.model_config.n_cell_dim
+        return (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+
+
+class StreamState:
+    """One live stream: host buffers + on-device LSTM state + decoder."""
+
+    def __init__(
+        self,
+        runtime: StreamingRuntime,
+        beam_width: int = 500,
+        cutoff_prob: float = 1.0,
+        cutoff_top_n: int = 40,
+        scorer: Optional[ScorerBase] = None,
+        hot_words: Optional[Dict[str, float]] = None,
+    ):
+        self.runtime = runtime
+        mc = runtime.model_config
+        self._audio: np.ndarray = np.zeros((0,), np.float32)
+        self._pending_frames: List[np.ndarray] = []
+        self._left_ctx = np.zeros((mc.n_context, mc.n_input), np.float32)
+        self._c, self._h = runtime.zero_state()
+        self._probs_history: List[np.ndarray] = []
+        self.decoder = DecoderState(
+            runtime.alphabet, beam_width, cutoff_prob, cutoff_top_n,
+            scorer, hot_words,
+        )
+        self._finished = False
+
+    # -- feeding -----------------------------------------------------------
+
+    def feed_audio_content(self, audio) -> None:
+        """Accept int16 PCM (scaled by 1/32768) or float32 in [-1, 1]."""
+        assert not self._finished, "stream already finished"
+        audio = np.asarray(audio)
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
+        else:
+            audio = audio.astype(np.float32)
+        self._audio = np.concatenate([self._audio, audio])
+        self._process_audio()
+        self._process_frames(flush=False)
+
+    def _process_audio(self) -> None:
+        rt = self.runtime
+        fc = rt.feature_config
+        while len(self._audio) >= rt.chunk_samples:
+            chunk = self._audio[: rt.chunk_samples]
+            frames = np.asarray(rt._mfcc_chunk(jnp.asarray(chunk)))
+            self._pending_frames.extend(frames)
+            self._audio = self._audio[N_STEPS * fc.step_samples :]
+
+    def _window(self, frames: np.ndarray) -> np.ndarray:
+        """[n_context + 16 + n_context, n_input] -> [16, window_input]."""
+        mc = self.runtime.model_config
+        width = mc.window_width
+        return np.stack(
+            [frames[i : i + width].reshape(-1) for i in range(N_STEPS)]
+        )
+
+    def _emit_chunk(self, valid: int) -> None:
+        """Run one inference step over the first `valid` pending frames
+        (zero-padded to N_STEPS); consume them."""
+        rt = self.runtime
+        mc = rt.model_config
+        n_ctx = mc.n_context
+        pending = (
+            np.asarray(self._pending_frames)
+            if self._pending_frames
+            else np.zeros((0, mc.n_input), np.float32)
+        )
+        block = pending[: N_STEPS + n_ctx]
+        pad = N_STEPS + n_ctx - len(block)
+        if pad > 0:
+            block = np.concatenate(
+                [block, np.zeros((pad, mc.n_input), np.float32)]
+            )
+        stacked = np.concatenate([self._left_ctx, block])
+        windowed = self._window(stacked)
+        probs, self._c, self._h = rt._infer_chunk(
+            rt.params,
+            jnp.asarray(windowed),
+            jnp.asarray(valid, jnp.int32),
+            self._c,
+            self._h,
+        )
+        probs = np.asarray(probs)[:valid]
+        self._probs_history.append(probs)
+        self.decoder.next(probs)
+        # left context for the next chunk = last n_ctx frames before it
+        self._left_ctx = stacked[valid : valid + n_ctx]
+        self._pending_frames = self._pending_frames[valid:]
+
+    def _process_frames(self, flush: bool) -> None:
+        n_ctx = self.runtime.model_config.n_context
+        while len(self._pending_frames) >= N_STEPS + n_ctx:
+            self._emit_chunk(N_STEPS)
+
+    # -- decoding ----------------------------------------------------------
+
+    def intermediate_decode(self, num_results: int = 1):
+        return self.decoder.decode(num_results)
+
+    def intermediate_decode_flush_buffers(self, num_results: int = 1):
+        """Decode after flushing buffered audio through the model — the
+        stream cannot be fed afterwards (STT_IntermediateDecodeWithBufferFlush)."""
+        self._flush()
+        return self.decoder.decode(num_results)
+
+    def finish(self, num_results: int = 1):
+        self._flush()
+        self._finished = True
+        return self.decoder.decode(num_results)
+
+    def _flush(self) -> None:
+        if self._finished:
+            return
+        mc = self.runtime.model_config
+        # trailing partial audio window is dropped; compute any full windows
+        fc = self.runtime.feature_config
+        n_full = max(0, (len(self._audio) - fc.window_samples) // fc.step_samples + 1)
+        if n_full > 0:
+            take = (n_full - 1) * fc.step_samples + fc.window_samples
+            frames = np.asarray(
+                audio_to_mfcc(jnp.asarray(self._audio[:take]), fc)
+            )
+            self._pending_frames.extend(frames)
+            self._audio = np.zeros((0,), np.float32)
+        # zero-MFCC padding for the right context (stt.cc:242-247); the pad
+        # frames are window context only, never emitted centers
+        real = len(self._pending_frames)
+        self._pending_frames.extend(
+            np.zeros((mc.n_context, mc.n_input), np.float32)
+        )
+        while real > 0:
+            valid = min(N_STEPS, real)
+            self._emit_chunk(valid)
+            real -= valid
+        self._pending_frames = []
+
+    @property
+    def probs_history(self) -> np.ndarray:
+        """All emitted softmax probabilities (emissions API surface)."""
+        if not self._probs_history:
+            n_out = self.runtime.model_config.n_out
+            return np.zeros((0, n_out), np.float32)
+        return np.concatenate(self._probs_history)

@@ -44,3 +44,57 @@ def smoke_wav(reference_root):
     if not os.path.isfile(path):
         pytest.skip("LDC93S1 smoke wav not available")
     return path
+
+
+SMOKE_TRANSCRIPT = "she had your dark suit in greasy wash water all year"
+
+
+@pytest.fixture(scope="session")
+def trained_smoke(smoke_wav):
+    """Tiny model overfit on LDC93S1 (the bin/run-ldc93s1.sh recipe),
+    shared by the E2E, serve, and streaming test suites.
+
+    Returns (params, model_config, feature_config, alphabet, audio)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stt_tpu.alphabet import Alphabet
+    from stt_tpu.data import read_wav
+    from stt_tpu.frontend import FeatureConfig, audio_to_mfcc
+    from stt_tpu.models import ModelConfig
+    from stt_tpu.train import Batch, create_train_state, make_train_step
+    from stt_tpu.train.step import create_optimizer
+
+    audio, rate = read_wav(smoke_wav)
+    assert rate == 16000
+    feature_config = FeatureConfig()
+    feats = np.asarray(audio_to_mfcc(jnp.asarray(audio), feature_config))
+    alphabet = Alphabet(os.path.join(REFERENCE_ROOT, "data/alphabet.txt"))
+    labels = np.asarray(alphabet.encode(SMOKE_TRANSCRIPT), np.int32)
+    batch = Batch(
+        features=jnp.asarray(feats[None]),
+        feature_lengths=jnp.asarray([feats.shape[0]], np.int32),
+        labels=jnp.asarray(labels[None]),
+        label_lengths=jnp.asarray([len(labels)], np.int32),
+    )
+    config = ModelConfig(
+        n_hidden=100, n_cell_dim=100, n_out=alphabet.size + 1,
+        dropout_rates=(0.0,) * 6,
+    )
+    optimizer = create_optimizer(learning_rate=0.001)
+    state = create_train_state(jax.random.PRNGKey(0), config, optimizer)
+    train_step = make_train_step(config, optimizer)
+    rng = jax.random.PRNGKey(42)
+    loss = None
+    for _ in range(600):
+        state, metrics = train_step(state, batch, rng)
+        loss = float(metrics.loss)
+        if loss < 0.5:
+            break
+    assert loss is not None and loss < 1.0, f"smoke overfit failed: {loss}"
+    return (
+        jax.device_get(state.params),
+        config,
+        feature_config,
+        alphabet,
+        audio,
+    )
