@@ -1,0 +1,180 @@
+"""Sample stream -> padded Batch stream (the tf.data pipeline replacement).
+
+Parity surface: util/feeding.py create_dataset — per-sample feature
+extraction with optional signal/spectrogram/features augmentation, label
+encoding with contextual errors (util/text.py text_to_char_array),
+duration-sorted length bucketing, epoch-seeded batch shuffling, padded
+batches.
+
+TPU-first notes: features are computed on the host (numpy — identical
+math to the jnp frontend, gated by tests) so the accelerator only ever
+sees fixed-shape padded batches; time is padded to a multiple of
+`pad_time_to` and labels to `pad_labels_to` to keep the number of XLA
+compilations tiny across an epoch.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from stt_tpu.alphabet import Alphabet
+from stt_tpu.data.augmentations import (
+    Augmentation,
+    apply_graph_augmentations,
+    apply_sample_augmentations,
+)
+from stt_tpu.data.sources import Sample, samples_from_sources
+from stt_tpu.frontend import (
+    FeatureConfig,
+    mfcc_from_spectrogram_numpy,
+    spectrogram_numpy,
+)
+from stt_tpu.train.step import Batch
+
+
+def text_to_char_array(transcript: str, alphabet: Alphabet, context: str = ""):
+    """Encode with a helpful error naming the offending sample
+    (util/text.py:8-31)."""
+    if not alphabet.can_encode(transcript):
+        missing = [ch for ch in transcript if not alphabet.can_encode_single(ch)]
+        raise ValueError(
+            f'Alphabet cannot encode transcript "{transcript}" while '
+            f'processing sample "{context}", check that your alphabet '
+            f"contains all characters in the training corpus. "
+            f"Missing characters are: {missing}."
+        )
+    encoded = alphabet.encode(transcript)
+    if len(encoded) == 0:
+        raise ValueError(
+            f"While processing {context}: Found an empty transcript! "
+            f"You must include a transcript for all training data."
+        )
+    return np.asarray(encoded, np.int32)
+
+
+def featurize_sample(
+    sample: Sample,
+    feature_config: FeatureConfig,
+    augmentations: Sequence[Augmentation] = (),
+    train_phase: bool = False,
+    clock: float = 0.0,
+) -> np.ndarray:
+    """One utterance -> [T, n_mfcc] features (with augmentation when
+    training)."""
+    if train_phase and augmentations:
+        sample = apply_sample_augmentations(
+            sample, augmentations, clock=clock
+        )
+        audio = np.asarray(sample.audio, np.float32)
+        audio = apply_graph_augmentations(
+            "signal", audio, augmentations, clock=clock
+        )
+        spec = spectrogram_numpy(audio, feature_config)
+        spec = apply_graph_augmentations(
+            "spectrogram", spec, augmentations, clock=clock
+        )
+        feats = mfcc_from_spectrogram_numpy(
+            np.maximum(spec, 0.0), feature_config
+        )
+        feats = apply_graph_augmentations(
+            "features", feats, augmentations, clock=clock
+        )
+        return np.asarray(feats, np.float32)
+    spec = spectrogram_numpy(np.asarray(sample.audio, np.float32), feature_config)
+    return mfcc_from_spectrogram_numpy(spec, feature_config)
+
+
+def _round_up(x: int, m: int) -> int:
+    return max(m, ((x + m - 1) // m) * m)
+
+
+def create_batches(
+    sources: Iterable[str] | List[Sample],
+    alphabet: Alphabet,
+    feature_config: FeatureConfig = FeatureConfig(),
+    batch_size: int = 1,
+    augmentations: Sequence[Augmentation] = (),
+    train_phase: bool = False,
+    epoch: int = 0,
+    total_epochs: int = 1,
+    reverse: bool = False,
+    limit: int = 0,
+    drop_remainder: bool = False,
+    pad_time_to: int = 16,
+    pad_labels_to: int = 8,
+    shuffle_batches: bool = True,
+) -> Iterator[Batch]:
+    """Yield padded Batch pytrees.
+
+    reverse/limit implement the reference's pre-training longest-first
+    dummy run for early OOM detection (train.py:326-340).
+    """
+    if isinstance(sources, (list, tuple)) and sources and isinstance(sources[0], Sample):
+        samples = list(sources)
+    else:
+        samples = list(samples_from_sources(list(sources), labeled=True))
+    for aug in augmentations:
+        aug.start()
+
+    # global duration-proxy sort (ascending); hint falls back to audio
+    samples.sort(key=lambda s: s.duration_hint or s.duration)
+    if reverse:
+        samples.reverse()
+    if limit:
+        samples = samples[:limit]
+
+    n_batches = len(samples) // batch_size if drop_remainder else -(-len(samples) // batch_size)
+    order = list(range(n_batches))
+    if train_phase and shuffle_batches and not reverse:
+        random.Random(563 + epoch).shuffle(order)  # epoch-seeded (feeding.py:227)
+
+    clock_base = epoch / max(total_epochs, 1)
+    clock_span = 1.0 / max(total_epochs, 1)
+    total = max(len(samples), 1)
+
+    for batch_index in order:
+        chunk = samples[batch_index * batch_size : (batch_index + 1) * batch_size]
+        feats_list, labels_list, ids = [], [], []
+        for offset, sample in enumerate(chunk):
+            clock = clock_base + clock_span * (
+                (batch_index * batch_size + offset) / total
+            )
+            feats = featurize_sample(
+                sample, feature_config, augmentations, train_phase, clock
+            )
+            labels = text_to_char_array(
+                sample.transcript, alphabet, context=sample.sample_id
+            )
+            feats_list.append(feats)
+            labels_list.append(labels)
+            ids.append(sample.sample_id)
+
+        b = len(feats_list)
+        t_max = _round_up(max(f.shape[0] for f in feats_list), pad_time_to)
+        l_max = _round_up(max(len(l) for l in labels_list), pad_labels_to)
+        features = np.zeros((b, t_max, feature_config.n_mfcc), np.float32)
+        labels = np.zeros((b, l_max), np.int32)
+        feature_lengths = np.zeros((b,), np.int32)
+        label_lengths = np.zeros((b,), np.int32)
+        for i, (f, l) in enumerate(zip(feats_list, labels_list)):
+            features[i, : f.shape[0]] = f
+            labels[i, : len(l)] = l
+            feature_lengths[i] = f.shape[0]
+            label_lengths[i] = len(l)
+        batch = Batch(
+            features=jnp.asarray(features),
+            feature_lengths=jnp.asarray(feature_lengths),
+            labels=jnp.asarray(labels),
+            label_lengths=jnp.asarray(label_lengths),
+        )
+        # sample ids ride alongside (not inside the jit-facing pytree) so
+        # the train loop can name files with non-finite losses
+        yield batch, ids
+
+    for aug in augmentations:
+        aug.stop()

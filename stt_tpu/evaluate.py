@@ -1,0 +1,117 @@
+"""Test-set evaluation: logits + loss on device, beam decode on host,
+WER/CER report.
+
+Parity surface: evaluate.py (test epoch with
+ctc_beam_search_decoder_batch + scorer at Config.export_beam_width,
+:51-182) and the report format of util/evaluate_tools.py.
+
+Run: python -m stt_tpu.evaluate --test_files ... --checkpoint_dir ...
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+
+from stt_tpu.config import SttConfig, initialize_globals_from_cli, log_info
+from stt_tpu.data.feeding import create_batches
+from stt_tpu.decode import ctc_beam_search_decoder_batch
+from stt_tpu.evaluate_tools import (
+    SampleResult,
+    calculate_and_print_report,
+    process_decode_result,
+    save_samples_json,
+)
+from stt_tpu.train.checkpoints import CheckpointManager, load_graph_for_evaluation
+from stt_tpu.train.step import create_train_state, make_eval_step
+from stt_tpu.train.trainer import create_optimizer_with_hyperparams
+
+
+def evaluate(
+    config: SttConfig,
+    params=None,
+    test_files: Optional[List[str]] = None,
+) -> List[List[SampleResult]]:
+    alphabet = config.resolve_alphabet()
+    model_config = config.model_config(training=False)
+    feature_config = config.feature_config
+
+    if params is None:
+        optimizer = create_optimizer_with_hyperparams(config)
+        template = create_train_state(
+            jax.random.PRNGKey(0), model_config, optimizer
+        )
+        manager = CheckpointManager(config.load_checkpoint_dir)
+        state, method = load_graph_for_evaluation(
+            manager, template, config.load_evaluate
+        )
+        log_info(f"Loaded '{method}' checkpoint for evaluation")
+        params = state.params
+
+    scorer = None
+    if config.scorer_path:
+        from stt_tpu.decode.scorer_package import KenLMScorer
+
+        scorer = KenLMScorer(
+            config.scorer_path, alpha=config.lm_alpha, beta=config.lm_beta
+        )
+
+    eval_step = make_eval_step(model_config)
+    reports = []
+    for test_csv in test_files or config.test_files:
+        results: List[SampleResult] = []
+        for batch, ids in create_batches(
+            [test_csv],
+            alphabet,
+            feature_config,
+            batch_size=config.test_batch_size,
+            train_phase=False,
+        ):
+            losses, logits = eval_step(params, batch)
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+            lengths = np.asarray(batch.feature_lengths)
+            decoded = ctc_beam_search_decoder_batch(
+                list(probs),
+                lengths.tolist(),
+                alphabet,
+                beam_size=config.export_beam_width,
+                num_processes=max(1, config.test_batch_size),
+                cutoff_prob=config.cutoff_prob,
+                cutoff_top_n=config.cutoff_top_n,
+                scorer=scorer,
+            )
+            labels = np.asarray(batch.labels)
+            label_lengths = np.asarray(batch.label_lengths)
+            for i, sample_id in enumerate(ids):
+                src = alphabet.decode(labels[i, : label_lengths[i]])
+                res = decoded[i][0].transcript
+                results.append(
+                    process_decode_result(
+                        sample_id, src, res, float(losses[i])
+                    )
+                )
+        calculate_and_print_report(
+            results, dataset_name=test_csv, report_count=config.report_count
+        )
+        reports.append(results)
+    if config.test_output_file and reports:
+        save_samples_json(
+            [r for rs in reports for r in rs], config.test_output_file
+        )
+    return reports
+
+
+def main(argv=None):
+    config = initialize_globals_from_cli(argv)
+    if not config.test_files:
+        print("--test_files is required", file=sys.stderr)
+        sys.exit(1)
+    evaluate(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Export a trained checkpoint as a deployable model artifact.
+
+Parity surface: coqui_stt_training.export (freeze -> .pb/.tflite with
+embedded metadata, export.py:34-150, zip packaging :290). Here the
+artifact is the weights.npz + metadata.json + alphabet bundle
+(stt_tpu.artifact), loadable by stt_tpu.serve.Model.
+
+Run: python -m stt_tpu.export --checkpoint_dir ... --export_dir ...
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from stt_tpu.artifact import build_metadata, package_zip, save_artifact
+from stt_tpu.config import SttConfig, initialize_globals_from_cli, log_info
+from stt_tpu.train.checkpoints import CheckpointManager, load_graph_for_evaluation
+from stt_tpu.train.step import create_train_state
+from stt_tpu.train.trainer import create_optimizer_with_hyperparams
+
+
+def export(config: SttConfig) -> str:
+    alphabet = config.resolve_alphabet()
+    model_config = config.model_config(training=False)
+    optimizer = create_optimizer_with_hyperparams(config)
+    template = create_train_state(jax.random.PRNGKey(0), model_config, optimizer)
+    manager = CheckpointManager(config.load_checkpoint_dir)
+    state, method = load_graph_for_evaluation(
+        manager, template, config.load_evaluate
+    )
+    log_info(f"Exporting '{method}' checkpoint (step {int(state.step)})")
+    metadata = build_metadata(
+        model_config,
+        config.feature_config,
+        alphabet,
+        beam_width=config.export_beam_width,
+        lm_alpha=config.lm_alpha,
+        lm_beta=config.lm_beta,
+        model_name=config.export_model_name,
+        author=config.export_author_id,
+        license_str=config.export_license,
+        language=config.export_language,
+    )
+    out = save_artifact(
+        config.export_dir, jax.device_get(state.params), metadata, alphabet
+    )
+    log_info(f"Exported model artifact to {out}")
+    if config.export_zip:
+        zip_path = package_zip(out)
+        log_info(f"Packaged {zip_path}")
+        return zip_path
+    return out
+
+
+def main(argv=None):
+    config = initialize_globals_from_cli(argv)
+    if not config.export_dir:
+        print("--export_dir is required", file=sys.stderr)
+        sys.exit(1)
+    export(config)
+
+
+if __name__ == "__main__":
+    main()

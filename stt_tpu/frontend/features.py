@@ -178,6 +178,40 @@ def mfcc_from_spectrogram(
     return jnp.matmul(log_mel, dct_t, precision="highest")
 
 
+def spectrogram_numpy(
+    audio: np.ndarray, config: FeatureConfig = FeatureConfig()
+) -> np.ndarray:
+    """Host (numpy) spectrogram for the data pipeline — same constants and
+    semantics as the jnp path (tests assert equality); keeps per-sample
+    feature extraction off the accelerator where shapes vary."""
+    window, _, _ = _constants(config)
+    n = len(audio)
+    n_frames = max(0, (n - config.window_samples) // config.step_samples + 1)
+    idx = (
+        np.arange(n_frames)[:, None] * config.step_samples
+        + np.arange(config.window_samples)[None, :]
+    )
+    frames = np.asarray(audio, np.float32)[idx] * window
+    spec = np.fft.rfft(frames, n=config.fft_length, axis=-1)
+    return (spec.real**2 + spec.imag**2).astype(np.float32)
+
+
+def mfcc_from_spectrogram_numpy(
+    power_spec: np.ndarray, config: FeatureConfig = FeatureConfig()
+) -> np.ndarray:
+    _, mel_matrix, dct_t = _constants(config)
+    magnitude = np.sqrt(power_spec.astype(np.float64))
+    mel = magnitude @ mel_matrix.astype(np.float64)
+    log_mel = np.log(np.maximum(mel, _FILTERBANK_FLOOR))
+    return (log_mel @ dct_t.astype(np.float64)).astype(np.float32)
+
+
+def audio_to_mfcc_numpy(
+    audio: np.ndarray, config: FeatureConfig = FeatureConfig()
+) -> np.ndarray:
+    return mfcc_from_spectrogram_numpy(spectrogram_numpy(audio, config), config)
+
+
 def audio_to_mfcc(
     audio: jax.Array, config: FeatureConfig = FeatureConfig()
 ) -> jax.Array:
