@@ -1,0 +1,218 @@
+"""Native LM pipeline tests: KN estimation, ARPA IO, KenLM trie binary
+writing (gated against our reader, the ArpaModel oracle, and — when the
+reference's kenlm query tool can be built — the reference implementation
+itself), FST writer roundtrip, and full scorer-package creation."""
+
+import itertools
+import math
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from stt_tpu.alphabet import Alphabet
+from stt_tpu.lm.arpa import ArpaModel, estimate_kneser_ney, read_arpa, write_arpa
+from stt_tpu.lm.kenlm import KenLMModel
+from stt_tpu.lm.trie_writer import write_trie_binary
+
+CORPUS = [
+    "she had your dark suit in greasy wash water all year",
+    "she had a dark suit",
+    "the dark suit is in the wash",
+    "all year she had water",
+    "your suit is greasy",
+    "wash water all year",
+] * 2
+
+
+@pytest.fixture(scope="module")
+def kn_model():
+    return estimate_kneser_ney([s.split() for s in CORPUS], order=3)
+
+
+@pytest.fixture(scope="session")
+def kenlm_query_tool():
+    """Build the reference's vendored kenlm query tool as a parity oracle
+    (compiled in /tmp, never copied into the repo)."""
+    path = "/tmp/kenlm_oracle/bin/query"
+    if os.path.isfile(path):
+        return path
+    src = "/root/reference/native_client/kenlm"
+    if not os.path.isdir(src):
+        pytest.skip("reference kenlm not available")
+    import shutil
+
+    build_dir = "/tmp/kenlm_oracle"
+    shutil.copytree(src, build_dir, dirs_exist_ok=True)
+    getopt = os.path.join(build_dir, "util/getopt.hh")
+    if not os.path.isfile(getopt):
+        with open(getopt, "w") as f:
+            f.write("#include <getopt.h>\n#include <unistd.h>\n")
+    r = subprocess.run(
+        ["bash", "compile_query_only.sh"], cwd=build_dir,
+        capture_output=True, text=True, timeout=600,
+    )
+    if not os.path.isfile(path):
+        pytest.skip(f"kenlm oracle build failed: {r.stderr[-500:]}")
+    return path
+
+
+def test_kn_model_valid_structure(kn_model):
+    counts = kn_model.counts()
+    assert counts[0] > 10 and counts[1] > counts[0] * 0.5
+    # every ngram's prefix exists (KenLM requirement)
+    for n in range(2, kn_model.order + 1):
+        for ngram in kn_model.ngrams[n - 1]:
+            assert ngram[:-1] in kn_model.ngrams[n - 2], ngram
+    # unigram probabilities normalize
+    total = sum(
+        10 ** p for g, (p, _) in kn_model.ngrams[0].items() if g != ("<s>",)
+    )
+    assert 0.9 < total < 1.1, total
+
+
+def test_kn_model_prefers_seen_ngrams(kn_model):
+    seen = kn_model.score(("dark",), "suit")
+    unseen = kn_model.score(("dark",), "wash")
+    assert seen > unseen
+
+
+def test_arpa_roundtrip(tmp_path, kn_model):
+    path = str(tmp_path / "lm.arpa")
+    write_arpa(kn_model, path)
+    loaded = read_arpa(path)
+    assert loaded.counts() == kn_model.counts()
+    for ctx, w in [((), "she"), (("she",), "had"), (("dark",), "suit")]:
+        assert loaded.score(ctx, w) == pytest.approx(
+            kn_model.score(ctx, w), abs=1e-5
+        )
+
+
+def test_trie_binary_matches_oracle(kn_model):
+    data = write_trie_binary(kn_model)
+    m = KenLMModel(data)
+    assert m.order == kn_model.order
+    assert m.end_of_search_offset == len(data)
+    vocab = [w for w in kn_model.vocabulary if w not in ("<s>", "<unk>")]
+    checked = 0
+    for ctx_len in range(0, 3):
+        for ctx in itertools.islice(
+            itertools.product(vocab, repeat=ctx_len), 10
+        ):
+            for w in vocab[:5]:
+                oracle = kn_model.score(ctx, w)
+                got = m.score(
+                    [m.vocab_index(c) for c in ctx], m.vocab_index(w)
+                )
+                assert got == pytest.approx(oracle, abs=1e-4), (ctx, w)
+                checked += 1
+    assert checked > 100
+
+
+def test_trie_binary_reference_kenlm_reads_it(tmp_path, kn_model, kenlm_query_tool):
+    """The REFERENCE KenLM implementation must load and score our binary
+    identically to the ARPA oracle."""
+    data = write_trie_binary(kn_model)
+    lm_path = str(tmp_path / "lm.binary")
+    with open(lm_path, "wb") as f:
+        f.write(data)
+    sentence = "she had your dark suit"
+    r = subprocess.run(
+        [kenlm_query_tool, lm_path], input=sentence + "\n",
+        capture_output=True, text=True, timeout=60,
+    )
+    assert "contains trie" in r.stderr or "contains trie" in r.stdout
+    # parse per-word scores: tokens look like word=id ngramlen score
+    fields = [t for t in r.stdout.split("\t") if "=" in t]
+    ref_scores = [float(t.split(" ")[-1]) for t in fields]
+    ctx = ["<s>"]
+    oracle_scores = []
+    for w in sentence.split() + ["</s>"]:
+        oracle_scores.append(kn_model.score(tuple(ctx), w))
+        ctx.append(w)
+    np.testing.assert_allclose(ref_scores, oracle_scores, atol=1e-4)
+
+
+def test_fst_writer_reader_roundtrip():
+    from stt_tpu.decode.fst_dict import FstDictionary
+    from stt_tpu.decode.fst_writer import build_dictionary_fst, write_const_fst
+
+    alphabet = Alphabet("/root/reference/data/alphabet.txt")
+    words = ["she", "had", "shed", "a"]
+    states, arcs = build_dictionary_fst(words, alphabet)
+    data = write_const_fst(states, arcs, base_offset=123)
+    d = FstDictionary(b"\x00" * 123 + data, 123)
+    assert set(d.words(alphabet)) == set(words)
+    st = d.start
+    for ch in "she":
+        st = d.step(st, alphabet.encode_single(ch))
+        assert st is not None
+    assert d.step(st, alphabet.space_index) == d.start
+    # 'sh' + space is not a word
+    st = d.start
+    for ch in "sh":
+        st = d.step(st, alphabet.encode_single(ch))
+    assert d.step(st, alphabet.space_index) is None
+
+
+def test_generate_lm_and_scorer_package_end_to_end(tmp_path, trained_smoke):
+    """Corpus -> LM -> .scorer -> beam decode with OUR OWN scorer."""
+    import jax
+    import jax.numpy as jnp
+
+    from stt_tpu.decode import ctc_beam_search_decoder
+    from stt_tpu.decode.scorer_package import KenLMScorer
+    from stt_tpu.frontend import audio_to_mfcc
+    from stt_tpu.models import apply_model
+    from stt_tpu.tools.generate_lm import build_lm
+    from stt_tpu.tools.generate_scorer_package import create_package
+
+    corpus_path = str(tmp_path / "corpus.txt")
+    with open(corpus_path, "w") as f:
+        f.write("\n".join(CORPUS) + "\n")
+    out_dir = str(tmp_path / "lm")
+    os.makedirs(out_dir)
+    arpa_path, binary_path = build_lm(corpus_path, out_dir, arpa_order=3)
+    vocab_path = str(tmp_path / "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(sorted({w for s in CORPUS for w in s.split()})) + "\n")
+
+    package = str(tmp_path / "own.scorer")
+    create_package(
+        "/root/reference/data/alphabet.txt", binary_path, vocab_path,
+        package, default_alpha=0.75, default_beta=1.85,
+    )
+    scorer = KenLMScorer(package)
+    assert scorer.get_max_order() == 3
+    assert not scorer.is_utf8_mode()
+
+    params, config, feature_config, alphabet, audio = trained_smoke
+    feats = audio_to_mfcc(jnp.asarray(audio), feature_config)[None]
+    lengths = jnp.asarray([feats.shape[1]], np.int32)
+    logits, _ = apply_model(params, feats, seq_len=lengths, config=config)
+    probs = np.asarray(jax.nn.softmax(logits[0], axis=-1))
+    [res] = ctc_beam_search_decoder(probs, alphabet, beam_size=32, scorer=scorer)
+    assert res.transcript == "she had your dark suit in greasy wash water all year"
+
+
+def test_arpa_scorer_package_direct(tmp_path):
+    """generate_scorer_package accepts an ARPA directly."""
+    from stt_tpu.decode.scorer_package import KenLMScorer
+    from stt_tpu.tools.generate_scorer_package import create_package
+
+    model = estimate_kneser_ney([s.split() for s in CORPUS], order=2)
+    arpa_path = str(tmp_path / "lm.arpa")
+    write_arpa(model, arpa_path)
+    vocab_path = str(tmp_path / "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(sorted({w for s in CORPUS for w in s.split()})) + "\n")
+    package = str(tmp_path / "direct.scorer")
+    create_package(
+        "/root/reference/data/alphabet.txt", arpa_path, vocab_path, package,
+        default_alpha=0.5, default_beta=1.0,
+    )
+    scorer = KenLMScorer(package)
+    assert scorer.alpha == pytest.approx(0.5)
+    p = scorer.get_log_cond_prob(["dark", "suit"], bos=False)
+    assert -20 < p < 0
