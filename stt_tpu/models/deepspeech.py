@@ -168,7 +168,11 @@ def apply_model(
     # LSTM is time-major: [T, B, n_cell]
     x = x.reshape(b, t, -1).transpose(1, 0, 2)
     outputs, state = lstm_scan(
-        params["lstm"], x, seq_len=seq_len, initial_state=previous_state
+        params["lstm"],
+        x,
+        seq_len=seq_len,
+        initial_state=previous_state,
+        compute_dtype=config.dtype,
     )
     x = outputs.transpose(1, 0, 2).reshape(b * t, -1)
 

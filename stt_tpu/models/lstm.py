@@ -59,24 +59,53 @@ def lstm_scan(
     seq_len: jax.Array | None = None,
     initial_state: Tuple[jax.Array, jax.Array] | None = None,
     precision=None,
+    compute_dtype=None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Time-major scan. x: [T, B, n_in] -> (outputs [T, B, n_cell], (c, h)).
 
     seq_len: [B] valid lengths (None = all frames valid).
     initial_state: (c, h) each [B, n_cell] (None = zeros).
+    compute_dtype: matmul input dtype (bf16 for full-rate MXU); gates and
+      state stay f32.
+
+    TPU shape: the input projection x @ W_x for ALL timesteps is hoisted
+    out of the scan into one large MXU-friendly matmul; the sequential
+    body only computes h @ W_h (+precomputed), halving the per-step HBM
+    weight traffic that bounds recurrent throughput.
     """
-    T, B, _ = x.shape
+    T, B, n_in = x.shape
     n_cell = params["kernel"].shape[1] // 4
     if initial_state is None:
-        c0 = jnp.zeros((B, n_cell), x.dtype)
-        h0 = jnp.zeros((B, n_cell), x.dtype)
+        c0 = jnp.zeros((B, n_cell), jnp.float32)
+        h0 = jnp.zeros((B, n_cell), jnp.float32)
     else:
         c0, h0 = initial_state
 
+    dtype = compute_dtype or x.dtype
+    w_x = params["kernel"][:n_in].astype(dtype)
+    w_h = params["kernel"][n_in:].astype(dtype)
+    x_proj = (
+        jnp.matmul(
+            x.reshape(T * B, n_in).astype(dtype),
+            w_x,
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        + params["bias"]
+    ).reshape(T, B, 4 * n_cell)
+
     def step(carry, inp):
         c, h = carry
-        x_t, t = inp
-        c_new, h_new = lstm_cell(params, x_t, c, h, precision=precision)
+        xp_t, t = inp
+        z = xp_t + jnp.matmul(
+            h.astype(dtype),
+            w_h,
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        i, g, f, o = jnp.split(z, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
         if seq_len is not None:
             valid = (t < seq_len)[:, None]
             c_new = jnp.where(valid, c_new, c)
@@ -87,5 +116,5 @@ def lstm_scan(
         return (c_new, h_new), out
 
     ts = jnp.arange(T, dtype=jnp.int32)
-    (c, h), outputs = jax.lax.scan(step, (c0, h0), (x, ts))
+    (c, h), outputs = jax.lax.scan(step, (c0, h0), (x_proj, ts))
     return outputs, (c, h)
