@@ -29,11 +29,11 @@ def main():
     from stt_tpu.ctc.greedy import best_path
 
     feature_config = FeatureConfig()
-    # bf16 compute: TPU-native MXU rate; params stay f32.
-    config = ModelConfig(compute_dtype="bfloat16")
+    # bf16 compute + fused Pallas recurrence: TPU-native MXU rate.
+    config = ModelConfig(compute_dtype="bfloat16", fused_lstm=True)
     params = init_params(jax.random.PRNGKey(0), config)
 
-    batch, seconds = 32, 10.0
+    batch, seconds = 128, 10.0
     n_samples = int(seconds * feature_config.sample_rate)
     rng = np.random.RandomState(0)
     audio = jnp.asarray(rng.randn(batch, n_samples) * 0.1, jnp.float32)

@@ -152,15 +152,36 @@ def _frame(audio: jax.Array, window_samples: int, step_samples: int) -> jax.Arra
     return audio[..., idx]
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_matrices(config: FeatureConfig):
+    """Real-DFT as two dense matrices [window, n_bins].
+
+    On TPU this beats jnp.fft.rfft by >10x: a 512-point DFT over tens of
+    thousands of frames is exactly the dense [frames,512]x[512,257] shape
+    the MXU eats, while XLA's generic FFT lowering is scalar-heavy. The
+    window function folds into the matrices so framing -> power spectrum
+    is gather + 2 matmuls + square-add.
+    """
+    n = config.fft_length
+    w = config.window_samples
+    window = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(w, dtype=np.float64) / w)
+    k = np.arange(config.n_bins, dtype=np.float64)
+    t = np.arange(w, dtype=np.float64)  # zero-padding to fft_length is implicit
+    angle = -2.0 * np.pi * np.outer(t, k) / n
+    cos_mat = (np.cos(angle) * window[:, None]).astype(np.float32)
+    sin_mat = (np.sin(angle) * window[:, None]).astype(np.float32)
+    return cos_mat, sin_mat
+
+
 def spectrogram(
     audio: jax.Array, config: FeatureConfig = FeatureConfig(), magnitude_squared: bool = True
 ) -> jax.Array:
     """[..., n_samples] float audio in [-1, 1] -> [..., n_frames, n_bins]."""
-    window, _, _ = _constants(config)
+    cos_mat, sin_mat = _dft_matrices(config)
     frames = _frame(audio, config.window_samples, config.step_samples)
-    frames = frames * window
-    spec = jnp.fft.rfft(frames, n=config.fft_length, axis=-1)
-    power = jnp.square(jnp.real(spec)) + jnp.square(jnp.imag(spec))
+    real = jnp.matmul(frames, cos_mat, precision="highest")
+    imag = jnp.matmul(frames, sin_mat, precision="highest")
+    power = jnp.square(real) + jnp.square(imag)
     return power if magnitude_squared else jnp.sqrt(power)
 
 

@@ -40,6 +40,9 @@ class ModelConfig:
     # dropout rates for layers [1, 2, 3, lstm(unused), unused, 5]
     dropout_rates: Tuple[float, ...] = (0.05, 0.05, 0.05, 0.0, 0.0, 0.05)
     compute_dtype: str = "float32"  # "bfloat16" for full-rate MXU
+    # inference-only Pallas recurrence with W_h resident in VMEM; falls
+    # back to the lax.scan when shapes don't qualify or when training
+    fused_lstm: bool = False
 
     @property
     def window_width(self) -> int:
@@ -167,13 +170,27 @@ def apply_model(
 
     # LSTM is time-major: [T, B, n_cell]
     x = x.reshape(b, t, -1).transpose(1, 0, 2)
-    outputs, state = lstm_scan(
-        params["lstm"],
-        x,
-        seq_len=seq_len,
-        initial_state=previous_state,
-        compute_dtype=config.dtype,
-    )
+    use_fused = config.fused_lstm and dropout_rng is None
+    if use_fused:
+        from stt_tpu.ops import fused_lstm_supported, lstm_fused
+
+        use_fused = fused_lstm_supported(b, config.n_cell_dim, config.dtype)
+    if use_fused:
+        outputs, state = lstm_fused(
+            params["lstm"],
+            x,
+            seq_len=seq_len,
+            initial_state=previous_state,
+            compute_dtype=config.dtype,
+        )
+    else:
+        outputs, state = lstm_scan(
+            params["lstm"],
+            x,
+            seq_len=seq_len,
+            initial_state=previous_state,
+            compute_dtype=config.dtype,
+        )
     x = outputs.transpose(1, 0, 2).reshape(b * t, -1)
 
     x = _dense(params["layer_5"], x, config, dropout_rate=rates[5], rng=rngs[3])
