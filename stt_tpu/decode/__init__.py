@@ -3,6 +3,7 @@ from stt_tpu.decode.beam import (
     DecoderState,
     ctc_beam_search_decoder,
     ctc_beam_search_decoder_batch,
+    make_decoder_state,
 )
 from stt_tpu.decode.trie import DictionaryTrie
 from stt_tpu.decode.scorer import ScorerBase
@@ -12,6 +13,7 @@ __all__ = [
     "DecoderState",
     "ctc_beam_search_decoder",
     "ctc_beam_search_decoder_batch",
+    "make_decoder_state",
     "DictionaryTrie",
     "ScorerBase",
 ]

@@ -452,6 +452,46 @@ class DecoderState:
         return results
 
 
+def make_decoder_state(
+    alphabet: Alphabet,
+    beam_size: int,
+    cutoff_prob: float = 1.0,
+    cutoff_top_n: int = 40,
+    scorer: Optional[ScorerBase] = None,
+    hot_words: Optional[Dict[str, float]] = None,
+    implementation: str = "auto",
+):
+    """DecoderState factory: the native (C++) decoder when available and
+    the scorer (if any) is a path-backed package; else this module's
+    Python oracle. implementation: 'auto' | 'python' | 'native'."""
+    if implementation != "python":
+        from stt_tpu.decode import native
+
+        scorer_path = getattr(scorer, "path", None)
+        native_ok = native.native_available() and (
+            scorer is None or scorer_path is not None
+        )
+        if native_ok:
+            return native.NativeDecoderState(
+                alphabet,
+                beam_size,
+                cutoff_prob,
+                cutoff_top_n,
+                scorer_path=scorer_path,
+                alpha=scorer.alpha if scorer is not None else None,
+                beta=scorer.beta if scorer is not None else None,
+                hot_words=hot_words,
+            )
+        if implementation == "native":
+            raise RuntimeError(
+                f"native decoder unavailable ({native.native_build_error()}) "
+                "or scorer has no file path"
+            )
+    return DecoderState(
+        alphabet, beam_size, cutoff_prob, cutoff_top_n, scorer, hot_words
+    )
+
+
 def ctc_beam_search_decoder(
     probs: np.ndarray,
     alphabet: Alphabet,
@@ -461,10 +501,12 @@ def ctc_beam_search_decoder(
     scorer: Optional[ScorerBase] = None,
     hot_words: Optional[Dict[str, float]] = None,
     num_results: int = 1,
+    implementation: str = "auto",
 ) -> List[DecodeResult]:
     """One-shot decode of [T, C] softmax probabilities."""
-    state = DecoderState(
-        alphabet, beam_size, cutoff_prob, cutoff_top_n, scorer, hot_words
+    state = make_decoder_state(
+        alphabet, beam_size, cutoff_prob, cutoff_top_n, scorer, hot_words,
+        implementation,
     )
     state.next(probs)
     return state.decode(num_results)
@@ -481,9 +523,11 @@ def ctc_beam_search_decoder_batch(
     scorer: Optional[ScorerBase] = None,
     hot_words: Optional[Dict[str, float]] = None,
     num_results: int = 1,
+    implementation: str = "auto",
 ) -> List[List[DecodeResult]]:
     """Decode a batch of utterances (parallel fan-out like the reference's
-    ThreadPool wrapper, cpp:608-702)."""
+    ThreadPool wrapper, cpp:608-702). With the native decoder, worker
+    threads run truly concurrently — the C++ library releases the GIL."""
     items = [
         np.asarray(p)[: int(n)] for p, n in zip(probs_batch, seq_lengths)
     ]
@@ -491,7 +535,7 @@ def ctc_beam_search_decoder_batch(
     def one(p):
         return ctc_beam_search_decoder(
             p, alphabet, beam_size, cutoff_prob, cutoff_top_n, scorer,
-            hot_words, num_results,
+            hot_words, num_results, implementation,
         )
 
     if num_processes <= 1 or len(items) <= 1:

@@ -41,6 +41,7 @@ class KenLMScorer(ScorerBase):
         data: Optional[bytes] = None,
     ):
         super().__init__(0.0, 0.0)
+        self.path = scorer_path  # lets the native decoder re-open the package
         if data is None:
             if scorer_path is None:
                 raise ValueError("need scorer_path or data")

@@ -1,0 +1,979 @@
+// Native CTC prefix beam-search decoder library for stt_tpu.
+//
+// The host-side hot path of decoding (the per-frame beam expansion, the
+// KenLM query and the vocabulary-trie walk) is native here for the same
+// reason it is native in the reference (ctcdecode/*.cpp): Python-object
+// beam bookkeeping is ~100x too slow at production beam widths. The
+// semantics mirror stt_tpu/decode/beam.py exactly — that module is the
+// property-tested oracle and the equivalence test decodes identical
+// inputs through both.
+//
+// Contents: murmur hash, KenLM binary trie reader (plain/quantized,
+// bhiksha array pointers), ConstFst dictionary reader, .scorer package
+// parse, prefix trie + timestep tree, DecoderState, C ABI (ctypes).
+//
+// Build: g++ -O3 -std=c++17 -fPIC -shared ctc_decoder.cpp -o libstt_decoder.so
+
+#include <algorithm>
+#include <cassert>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <limits>
+#include <map>
+#include <memory>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double kNegInf = -std::numeric_limits<double>::infinity();
+constexpr double kFltMin = 1.1754944e-38;
+constexpr double kOovScore = -1000.0;
+const double kLog10E = std::log10(std::exp(1.0));
+
+inline double log_sum_exp(double a, double b) {
+  if (a == kNegInf) return b;
+  if (b == kNegInf) return a;
+  double hi = std::max(a, b), lo = std::min(a, b);
+  return hi + std::log1p(std::exp(lo - hi));
+}
+
+// ---------------------------------------------------------------- murmur
+uint64_t murmur_hash64a(const void* key, size_t len, uint64_t seed = 0) {
+  const uint64_t m = 0xc6a4a7935bd1e995ULL;
+  const int r = 47;
+  uint64_t h = seed ^ (len * m);
+  const uint8_t* data = static_cast<const uint8_t*>(key);
+  const uint8_t* end = data + (len & ~size_t(7));
+  for (const uint8_t* p = data; p != end; p += 8) {
+    uint64_t k;
+    std::memcpy(&k, p, 8);
+    k *= m;
+    k ^= k >> r;
+    k *= m;
+    h ^= k;
+    h *= m;
+  }
+  size_t tail_len = len & 7;
+  if (tail_len) {
+    uint64_t tail = 0;
+    std::memcpy(&tail, end, tail_len);
+    h ^= tail;
+    h *= m;
+  }
+  h ^= h >> r;
+  h *= m;
+  h ^= h >> r;
+  return h;
+}
+
+// ------------------------------------------------------------- bit utils
+inline uint64_t read_bits(const uint8_t* base, uint64_t bit_off, int bits) {
+  uint64_t word;
+  std::memcpy(&word, base + (bit_off >> 3), 8);
+  return (word >> (bit_off & 7)) & ((bits >= 64) ? ~0ULL : ((1ULL << bits) - 1));
+}
+
+inline float read_float32(const uint8_t* base, uint64_t bit_off) {
+  uint32_t i = static_cast<uint32_t>(read_bits(base, bit_off, 32));
+  float f;
+  std::memcpy(&f, &i, 4);
+  return f;
+}
+
+inline float read_nonpositive_float31(const uint8_t* base, uint64_t bit_off) {
+  uint32_t i = static_cast<uint32_t>(read_bits(base, bit_off, 31)) | 0x80000000u;
+  float f;
+  std::memcpy(&f, &i, 4);
+  return f;
+}
+
+inline int required_bits(uint64_t max_value) {
+  int bits = 0;
+  while (max_value) {
+    ++bits;
+    max_value >>= 1;
+  }
+  return bits;
+}
+
+inline uint64_t align8(uint64_t x) { return ((x - 1) / 8 + 1) * 8; }
+
+// ------------------------------------------------------------ kenlm read
+struct KenLM {
+  std::vector<uint8_t> data;
+  int order = 0;
+  std::vector<uint64_t> counts;
+  bool quantized = false, array_mode = false;
+  int prob_bits = 0, backoff_bits = 0;
+
+  const uint64_t* vocab_hashes = nullptr;
+  uint64_t n_hashes = 0;
+
+  struct UnigramValue {
+    float prob, backoff;
+    uint64_t next;
+  };
+  const UnigramValue* unigram = nullptr;
+
+  struct Middle {
+    const uint64_t* bhiksha_offsets = nullptr;
+    uint64_t bhiksha_count = 0;
+    int inline_bits = 0;
+    const uint8_t* bits = nullptr;
+    int word_bits = 0, quant_bits = 0, total_bits = 0;
+    uint64_t entries = 0;
+  };
+  std::vector<Middle> middles;
+  struct Longest {
+    const uint8_t* bits = nullptr;
+    int word_bits = 0, quant_bits = 0, total_bits = 0;
+  } longest;
+  std::vector<const float*> quant_prob_tables, quant_backoff_tables;
+  const float* longest_table = nullptr;
+  uint64_t end_of_search = 0;
+  uint32_t bos_id = 0, eos_id = 0;
+
+  bool parse(std::vector<uint8_t>&& bytes, std::string* err) {
+    data = std::move(bytes);
+    static const char kMagic[] =
+        "mmap lm http://kheafield.com/code format version 5\n";
+    const size_t magic_len = sizeof(kMagic);  // includes trailing NUL
+    if (data.size() < 128 ||
+        std::memcmp(data.data(), kMagic, magic_len - 1) != 0) {
+      *err = "not a KenLM binary file";
+      return false;
+    }
+    uint64_t sanity = align8(magic_len) + 12 + 12 + 8;
+    uint64_t off = sanity;
+    order = data[off];
+    int32_t model_type;
+    std::memcpy(&model_type, data.data() + off + 8, 4);
+    off += 20;
+    counts.resize(order);
+    std::memcpy(counts.data(), data.data() + off, 8 * order);
+    uint64_t header_size = align8(sanity + 20 + 8 * order);
+    if (model_type < 2 || model_type > 5) {
+      *err = "unsupported KenLM model type " + std::to_string(model_type);
+      return false;
+    }
+    quantized = (model_type == 3 || model_type == 5);
+    array_mode = (model_type == 4 || model_type == 5);
+
+    uint64_t pos = header_size;
+    std::memcpy(&n_hashes, data.data() + pos, 8);
+    vocab_hashes = reinterpret_cast<const uint64_t*>(data.data() + pos + 8);
+    pos += 8 + 8 * counts[0];
+
+    if (quantized) {
+      if (data[pos] != 2) {
+        *err = "bad quantization version";
+        return false;
+      }
+      prob_bits = data[pos + 1];
+      backoff_bits = data[pos + 2];
+      uint64_t tp = pos + 8;
+      for (int o = 0; o < order - 2; ++o) {
+        quant_prob_tables.push_back(
+            reinterpret_cast<const float*>(data.data() + tp));
+        tp += 4ULL << prob_bits;
+        quant_backoff_tables.push_back(
+            reinterpret_cast<const float*>(data.data() + tp));
+        tp += 4ULL << backoff_bits;
+      }
+      longest_table = reinterpret_cast<const float*>(data.data() + tp);
+      tp += 4ULL << prob_bits;
+      pos = tp;
+    }
+    int middle_quant_bits = quantized ? prob_bits + backoff_bits : 31 + 32;
+    int longest_quant_bits = quantized ? prob_bits : 31;
+
+    unigram = reinterpret_cast<const UnigramValue*>(data.data() + pos);
+    pos += (counts[0] + 2) * 16;
+
+    int pointer_bhiksha_bits = 64;
+    if (array_mode && order > 2) pointer_bhiksha_bits = data[align8(pos) + 1];
+
+    int word_bits = required_bits(counts[0]);
+    for (int o = 2; o < order; ++o) {
+      Middle mid;
+      uint64_t entries = counts[o - 1];
+      uint64_t max_next = counts[o];
+      int req = required_bits(max_next);
+      uint64_t bhiksha_size = 0;
+      if (array_mode) {
+        uint64_t max_offset = entries + 1;
+        int best_chop = 0;
+        int64_t lowest = std::numeric_limits<int64_t>::max();
+        for (int chop = 0; chop <= std::min(req, pointer_bhiksha_bits);
+             ++chop) {
+          int64_t change =
+              static_cast<int64_t>(max_next >> (req - chop)) * 64 -
+              static_cast<int64_t>(max_offset) * chop;
+          if (change < lowest) {
+            lowest = change;
+            best_chop = chop;
+          }
+        }
+        mid.inline_bits = req - best_chop;
+        mid.bhiksha_count = (max_next >> (req - best_chop)) + 1;
+        bhiksha_size = 8 * (1 + mid.bhiksha_count) + 7;
+        mid.bhiksha_offsets =
+            reinterpret_cast<const uint64_t*>(data.data() + align8(pos) + 8);
+      } else {
+        mid.inline_bits = req;
+      }
+      mid.word_bits = word_bits;
+      mid.quant_bits = middle_quant_bits;
+      mid.total_bits = word_bits + middle_quant_bits + mid.inline_bits;
+      mid.entries = entries;
+      mid.bits = data.data() + pos + bhiksha_size;
+      uint64_t bits_size = ((1 + entries) * mid.total_bits + 7) / 8 + 8;
+      pos += bhiksha_size + bits_size;
+      middles.push_back(mid);
+    }
+    longest.word_bits = word_bits;
+    longest.quant_bits = longest_quant_bits;
+    longest.total_bits = word_bits + longest_quant_bits;
+    longest.bits = data.data() + pos;
+    pos += ((1 + counts[order - 1]) * longest.total_bits + 7) / 8 + 8;
+    end_of_search = pos;
+
+    bos_id = vocab_index("<s>");
+    eos_id = vocab_index("</s>");
+    return true;
+  }
+
+  uint32_t vocab_index(const std::string& word) const {
+    uint64_t h = murmur_hash64a(word.data(), word.size());
+    const uint64_t* it = std::lower_bound(vocab_hashes, vocab_hashes + n_hashes, h);
+    if (it != vocab_hashes + n_hashes && *it == h)
+      return static_cast<uint32_t>(it - vocab_hashes) + 1;
+    return 0;
+  }
+
+  struct Range {
+    uint64_t begin, end;
+  };
+
+  void bhiksha_next(const Middle& mid, uint64_t entry_bit_off, uint64_t index,
+                    Range* out) const {
+    uint64_t lo_begin = read_bits(mid.bits, entry_bit_off, mid.inline_bits);
+    uint64_t lo_end =
+        read_bits(mid.bits, entry_bit_off + mid.total_bits, mid.inline_bits);
+    if (!mid.bhiksha_offsets) {
+      out->begin = lo_begin;
+      out->end = lo_end;
+      return;
+    }
+    const uint64_t* ob = mid.bhiksha_offsets;
+    const uint64_t* oe = ob + mid.bhiksha_count;
+    uint64_t bb = (std::upper_bound(ob, oe, index) - 1) - ob;
+    uint64_t eb = (std::upper_bound(ob, oe, index + 1) - 1) - ob;
+    out->begin = (bb << mid.inline_bits) | lo_begin;
+    out->end = (eb << mid.inline_bits) | lo_end;
+  }
+
+  // returns true + fills prob/backoff/range when found
+  bool middle_find(int order_m2, uint32_t word, Range* range, float* prob,
+                   float* backoff) const {
+    const Middle& mid = middles[order_m2];
+    uint64_t lo = range->begin, hi = range->end;
+    while (lo < hi) {
+      uint64_t m = (lo + hi) / 2;
+      uint64_t w = read_bits(mid.bits, m * mid.total_bits, mid.word_bits);
+      if (w < word)
+        lo = m + 1;
+      else if (w > word)
+        hi = m;
+      else {
+        uint64_t at = m * mid.total_bits + mid.word_bits;
+        if (quantized) {
+          uint64_t b_idx = read_bits(mid.bits, at, backoff_bits);
+          uint64_t p_idx = read_bits(mid.bits, at + backoff_bits, prob_bits);
+          *prob = quant_prob_tables[order_m2][p_idx];
+          *backoff = quant_backoff_tables[order_m2][b_idx];
+        } else {
+          *prob = read_nonpositive_float31(mid.bits, at);
+          *backoff = read_float32(mid.bits, at + 31);
+        }
+        bhiksha_next(mid, at + mid.quant_bits, m, range);
+        return true;
+      }
+    }
+    return false;
+  }
+
+  bool longest_find(uint32_t word, const Range& range, float* prob) const {
+    uint64_t lo = range.begin, hi = range.end;
+    while (lo < hi) {
+      uint64_t m = (lo + hi) / 2;
+      uint64_t w = read_bits(longest.bits, m * longest.total_bits,
+                             longest.word_bits);
+      if (w < word)
+        lo = m + 1;
+      else if (w > word)
+        hi = m;
+      else {
+        uint64_t at = m * longest.total_bits + longest.word_bits;
+        if (quantized) {
+          uint64_t idx = read_bits(longest.bits, at, prob_bits);
+          *prob = longest_table[idx];
+        } else {
+          *prob = read_nonpositive_float31(longest.bits, at);
+        }
+        return true;
+      }
+    }
+    return false;
+  }
+
+  // log10 P(word | context), context left-to-right (kenlm.py score())
+  double score(const std::vector<uint32_t>& context_full, uint32_t word) const {
+    size_t ctx_start = context_full.size() > size_t(order - 1)
+                           ? context_full.size() - (order - 1)
+                           : 0;
+    const uint32_t* context = context_full.data() + ctx_start;
+    int ctx_len = static_cast<int>(context_full.size() - ctx_start);
+
+    double prob = unigram[word].prob;
+    Range node{unigram[word].next, unigram[word + 1].next};
+    int matched = 1;
+    for (int k = 0; k < ctx_len; ++k) {
+      if (node.begin == node.end) break;
+      uint32_t w = context[ctx_len - 1 - k];
+      if (k == order - 2) {
+        float p;
+        if (longest_find(w, node, &p)) {
+          prob = p;
+          matched = order;
+        }
+        break;
+      }
+      float p, b;
+      if (!middle_find(k, w, &node, &p, &b)) break;
+      prob = p;
+      matched = k + 2;
+    }
+    if (ctx_len >= matched) {
+      int start = matched;
+      Range bnode;
+      if (start <= 1) {
+        uint32_t w = context[ctx_len - 1];
+        prob += unigram[w].backoff;
+        bnode = {unigram[w].next, unigram[w + 1].next};
+        start = 2;
+      } else {
+        uint32_t w = context[ctx_len - 1];
+        bnode = {unigram[w].next, unigram[w + 1].next};
+        bool ok = true;
+        for (int k = 1; k < start - 1; ++k) {
+          float p, b;
+          if (!middle_find(k - 1, context[ctx_len - 1 - k], &bnode, &p, &b)) {
+            ok = false;
+            break;
+          }
+        }
+        if (!ok) return prob;
+      }
+      for (int length = start; length <= ctx_len; ++length) {
+        if (bnode.begin == bnode.end) break;
+        float p, b;
+        if (!middle_find(length - 2, context[ctx_len - length], &bnode, &p, &b))
+          break;
+        prob += b;
+      }
+    }
+    return prob;
+  }
+};
+
+// ----------------------------------------------------------- ConstFst
+struct FstDict {
+  struct State {
+    float final_w;
+    uint32_t pos, narcs, nieps, noeps;
+  };
+  struct Arc {
+    int32_t ilabel, olabel;
+    float weight;
+    int32_t nextstate;
+  };
+  std::vector<State> states;
+  std::vector<Arc> arcs;
+  int32_t start = 0;
+
+  bool parse(const uint8_t* data, uint64_t size, uint64_t base, std::string* err) {
+    uint64_t off = base;
+    int32_t magic;
+    std::memcpy(&magic, data + off, 4);
+    off += 4;
+    if (magic != 2125659606) {
+      *err = "bad FST magic";
+      return false;
+    }
+    auto read_string = [&](std::string* s) {
+      int32_t n;
+      std::memcpy(&n, data + off, 4);
+      off += 4;
+      s->assign(reinterpret_cast<const char*>(data + off), n);
+      off += n;
+    };
+    std::string fsttype, arctype;
+    read_string(&fsttype);
+    read_string(&arctype);
+    if (fsttype != "const" || arctype != "standard") {
+      *err = "unsupported FST type";
+      return false;
+    }
+    int32_t version, flags;
+    std::memcpy(&version, data + off, 4);
+    std::memcpy(&flags, data + off + 4, 4);
+    off += 8;
+    uint64_t properties;
+    int64_t st, nstates, narcs;
+    std::memcpy(&properties, data + off, 8);
+    std::memcpy(&st, data + off + 8, 8);
+    std::memcpy(&nstates, data + off + 16, 8);
+    std::memcpy(&narcs, data + off + 24, 8);
+    off += 32;
+    bool aligned = (version == 1) || (flags & 4);
+    auto align16 = [&]() {
+      if (aligned) off = (off + 15) & ~15ULL;
+    };
+    align16();
+    states.resize(nstates);
+    std::memcpy(states.data(), data + off, nstates * sizeof(State));
+    off += nstates * sizeof(State);
+    align16();
+    arcs.resize(narcs);
+    std::memcpy(arcs.data(), data + off, narcs * sizeof(Arc));
+    start = static_cast<int32_t>(st);
+    return true;
+  }
+
+  bool is_final(int32_t s) const { return std::isfinite(states[s].final_w); }
+
+  // label = alphabet index; arcs store index+1. -1 = not found.
+  int32_t step(int32_t s, int label, bool reset = true) const {
+    const State& st = states[s];
+    const Arc* b = arcs.data() + st.pos;
+    const Arc* e = b + st.narcs;
+    int32_t want = label + 1;
+    const Arc* it = std::lower_bound(
+        b, e, want, [](const Arc& a, int32_t v) { return a.ilabel < v; });
+    if (it == e || it->ilabel != want) return -1;
+    int32_t nxt = it->nextstate;
+    if (reset && is_final(nxt)) return start;
+    return nxt;
+  }
+};
+
+// ------------------------------------------------------------- scorer
+struct Scorer {
+  KenLM lm;
+  std::unique_ptr<FstDict> dictionary;
+  bool utf8_mode = false;
+  double alpha = 0, beta = 0;
+
+  bool load(const std::string& path, std::string* err) {
+    std::ifstream in(path, std::ios::binary);
+    if (!in) {
+      *err = "cannot open scorer file";
+      return false;
+    }
+    std::vector<uint8_t> bytes((std::istreambuf_iterator<char>(in)),
+                               std::istreambuf_iterator<char>());
+    if (!lm.parse(std::move(bytes), err)) return false;
+    uint64_t off = lm.end_of_search;
+    const uint8_t* d = lm.data.data();
+    if (lm.data.size() < off + 25 || std::memcmp(d + off, "EIRT", 4) != 0) {
+      *err = "scorer has no TRIE trailer";
+      return false;
+    }
+    int32_t version;
+    std::memcpy(&version, d + off + 4, 4);
+    if (version != 6) {
+      *err = "scorer version mismatch";
+      return false;
+    }
+    utf8_mode = d[off + 8] != 0;
+    std::memcpy(&alpha, d + off + 9, 8);
+    std::memcpy(&beta, d + off + 17, 8);
+    dictionary.reset(new FstDict());
+    if (!dictionary->parse(d, lm.data.size(), off + 25, err)) return false;
+    return true;
+  }
+
+  // ngram of word strings -> ln P(last | preceding); OOV anywhere = OOV
+  double cond_prob(const std::vector<std::string>& ngram, bool bos) const {
+    std::vector<uint32_t> context;
+    if (bos) context.push_back(lm.bos_id);
+    double cond = 0.0;
+    for (const auto& w : ngram) {
+      uint32_t wid = lm.vocab_index(w);
+      if (wid == 0) return kOovScore;
+      cond = lm.score(context, wid);
+      context.push_back(wid);
+    }
+    return cond / kLog10E;
+  }
+};
+
+// ------------------------------------------------- prefix + timesteps
+struct TimestepNode {
+  TimestepNode* parent = nullptr;
+  int data = -1;
+  std::vector<std::unique_ptr<TimestepNode>> children;
+
+  TimestepNode* child(int value) {
+    for (auto& c : children)
+      if (c->data == value) return c.get();
+    children.emplace_back(new TimestepNode());
+    children.back()->parent = this;
+    children.back()->data = value;
+    return children.back().get();
+  }
+};
+
+struct Prefix {
+  int character = -1;
+  Prefix* parent = nullptr;
+  std::map<int, std::unique_ptr<Prefix>> children;
+  bool exists = true;
+  double log_prob_b_prev = kNegInf, log_prob_nb_prev = kNegInf;
+  double log_prob_b_cur = kNegInf, log_prob_nb_cur = kNegInf;
+  double score = kNegInf;
+  TimestepNode* timesteps = nullptr;
+  TimestepNode* previous_timesteps = nullptr;
+  int new_timestep = -1;
+  int32_t dict_state = -1;
+
+  Prefix* get_child(int label, const FstDict* trie) {
+    auto it = children.find(label);
+    if (it != children.end()) {
+      Prefix* node = it->second.get();
+      if (!node->exists) {
+        node->exists = true;
+        node->log_prob_b_prev = node->log_prob_nb_prev = kNegInf;
+        node->log_prob_b_cur = node->log_prob_nb_cur = kNegInf;
+      }
+      return node;
+    }
+    int32_t next_state = -1;
+    if (trie) {
+      next_state = trie->step(dict_state, label, true);
+      if (next_state < 0) return nullptr;
+    }
+    Prefix* node = new Prefix();
+    node->character = label;
+    node->parent = this;
+    node->dict_state = next_state;
+    children[label].reset(node);
+    return node;
+  }
+
+  void iterate_to_vec(std::vector<Prefix*>* out) {
+    for (auto& kv : children) kv.second->iterate_to_vec(out);
+    if (exists) {
+      log_prob_b_prev = log_prob_b_cur;
+      log_prob_nb_prev = log_prob_nb_cur;
+      log_prob_b_cur = kNegInf;
+      log_prob_nb_cur = kNegInf;
+      score = log_sum_exp(log_prob_b_prev, log_prob_nb_prev);
+      if (previous_timesteps) timesteps = previous_timesteps->child(new_timestep);
+      previous_timesteps = nullptr;
+      out->push_back(this);
+    }
+  }
+
+  void remove() {
+    exists = false;
+    if (children.empty() && parent) {
+      Prefix* p = parent;
+      int ch = character;
+      p->children.erase(ch);  // destroys this
+      if (p->children.empty() && !p->exists) p->remove();
+    }
+  }
+};
+
+// ------------------------------------------------------------- decoder
+struct Decoder {
+  std::vector<std::string> labels;  // index -> utf8 label
+  int space_id = -2, blank_id = 0;
+  size_t beam_size = 0;
+  double cutoff_prob = 1.0;
+  size_t cutoff_top_n = 40;
+  std::shared_ptr<Scorer> scorer;
+  std::unordered_map<std::string, float> hot_words;
+
+  std::unique_ptr<Prefix> root;
+  std::unique_ptr<TimestepNode> timestep_root;
+  std::vector<Prefix*> prefixes;
+  int abs_time_step = 0;
+  bool start_expanding = false;
+
+  void init() {
+    abs_time_step = 0;
+    start_expanding = false;
+    timestep_root.reset(new TimestepNode());
+    root.reset(new Prefix());
+    root->score = 0.0;
+    root->log_prob_b_prev = 0.0;
+    root->timesteps = timestep_root.get();
+    if (scorer && scorer->dictionary) root->dict_state = scorer->dictionary->start;
+    prefixes.assign(1, root.get());
+  }
+
+  static bool prefix_compare(const Prefix* a, const Prefix* b) {
+    if (a->score == b->score) return a->character < b->character;
+    return a->score > b->score;
+  }
+
+  std::vector<std::string> make_ngram(Prefix* prefix) const {
+    std::vector<std::string> ngram;
+    Prefix* node = prefix;
+    int max_order = scorer->lm.order;
+    for (int i = 0; i < max_order; ++i) {
+      if (!node || node->character == -1) break;
+      std::string unit;
+      Prefix* stop = node;
+      if (scorer->utf8_mode) {
+        // walk back to the codepoint's first byte
+        std::vector<int> bytes;
+        Prefix* cur = node;
+        while (true) {
+          bytes.push_back(cur->character);
+          uint8_t b = static_cast<uint8_t>(cur->character + 1);
+          if ((b & 0xC0) != 0x80 || !cur->parent) {
+            stop = cur;
+            break;
+          }
+          cur = cur->parent;
+        }
+        for (auto it = bytes.rbegin(); it != bytes.rend(); ++it)
+          unit += static_cast<char>(*it + 1);
+      } else {
+        if (node->character == space_id) {
+          stop = node;  // empty word
+        } else {
+          std::vector<int> chars;
+          Prefix* cur = node;
+          while (true) {
+            chars.push_back(cur->character);
+            Prefix* p = cur->parent;
+            if (!p || p->character == space_id || p->character == -1) {
+              stop = p ? p : cur;
+              break;
+            }
+            cur = p;
+          }
+          for (auto it = chars.rbegin(); it != chars.rend(); ++it)
+            unit += labels[*it];
+        }
+      }
+      node = stop->parent;
+      ngram.push_back(unit);
+    }
+    std::reverse(ngram.begin(), ngram.end());
+    return ngram;
+  }
+
+  bool codepoint_complete(Prefix* prefix) const {
+    if (prefix->character == -1) return false;
+    int distance = 0;
+    Prefix* node = prefix;
+    int first_byte = -1;
+    while (node && node->character != -1) {
+      ++distance;
+      uint8_t b = static_cast<uint8_t>(node->character + 1);
+      if ((b & 0xC0) != 0x80) {
+        first_byte = b;
+        break;
+      }
+      node = node->parent;
+    }
+    if (first_byte < 0) return false;
+    int needed;
+    if ((first_byte >> 3) == 0x1E)
+      needed = 4;
+    else if ((first_byte >> 4) == 0x0E)
+      needed = 3;
+    else if ((first_byte >> 5) == 0x06)
+      needed = 2;
+    else if ((first_byte >> 7) == 0x00)
+      needed = 1;
+    else
+      return false;
+    return distance == needed;
+  }
+
+  bool is_scoring_boundary(Prefix* prefix, int new_label) const {
+    if (scorer->utf8_mode) return codepoint_complete(prefix);
+    return new_label == space_id;
+  }
+
+  double lm_score(Prefix* to_score) const {
+    auto ngram = make_ngram(to_score);
+    double hot_boost = 0.0;
+    if (!hot_words.empty()) {
+      for (const auto& word : ngram) {
+        auto it = hot_words.find(word);
+        if (it != hot_words.end()) hot_boost += it->second;
+      }
+    }
+    bool bos = ngram.size() < static_cast<size_t>(scorer->lm.order);
+    return (scorer->cond_prob(ngram, bos) + hot_boost) * scorer->alpha +
+           scorer->beta;
+  }
+
+  void next(const double* probs, int time_dim, int class_dim) {
+    for (int rel_t = 0; rel_t < time_dim; ++rel_t) {
+      const double* prob = probs + static_cast<size_t>(rel_t) * class_dim;
+      if (prob[blank_id] < 0.999) start_expanding = true;
+      if (!start_expanding) {
+        ++abs_time_step;
+        continue;
+      }
+
+      double min_cutoff = kNegInf;
+      bool full_beam = false;
+      const FstDict* trie =
+          (scorer && scorer->dictionary) ? scorer->dictionary.get() : nullptr;
+      if (scorer) {
+        std::sort(prefixes.begin(), prefixes.end(), prefix_compare);
+        size_t num_prefixes = std::min(prefixes.size(), beam_size);
+        min_cutoff = prefixes[num_prefixes - 1]->score +
+                     std::log(prob[blank_id] + kFltMin) -
+                     std::max(0.0, scorer->beta);
+        full_beam = num_prefixes == beam_size;
+      }
+
+      // pruned emissions
+      std::vector<std::pair<int, double>> emissions;
+      {
+        size_t n = class_dim;
+        std::vector<std::pair<int, double>> pairs(n);
+        for (size_t i = 0; i < n; ++i) pairs[i] = {static_cast<int>(i), prob[i]};
+        size_t cutoff_len = n;
+        if (cutoff_prob < 1.0 || cutoff_top_n < n) {
+          std::sort(pairs.begin(), pairs.end(),
+                    [](auto& a, auto& b) { return a.second > b.second; });
+          if (cutoff_prob < 1.0) {
+            double cum = 0.0;
+            cutoff_len = 0;
+            for (auto& pr : pairs) {
+              cum += pr.second;
+              ++cutoff_len;
+              if (cum >= cutoff_prob || cutoff_len >= cutoff_top_n) break;
+            }
+          }
+          pairs.resize(cutoff_len);
+        }
+        emissions.reserve(pairs.size());
+        for (auto& pr : pairs)
+          emissions.emplace_back(pr.first, std::log(pr.second + kFltMin));
+      }
+
+      size_t n_pref = std::min(prefixes.size(), beam_size);
+      for (auto& em : emissions) {
+        int c = em.first;
+        double log_prob_c = em.second;
+        for (size_t pi = 0; pi < n_pref; ++pi) {
+          Prefix* prefix = prefixes[pi];
+          if (full_beam && log_prob_c + prefix->score < min_cutoff) break;
+          if (prefix->score == kNegInf) continue;
+
+          if (c == blank_id) {
+            double log_p = log_prob_c + prefix->score;
+            if (prefix->log_prob_nb_cur < log_p)
+              prefix->previous_timesteps = nullptr;
+            prefix->log_prob_b_cur = log_sum_exp(prefix->log_prob_b_cur, log_p);
+            continue;
+          }
+          if (c == prefix->character) {
+            double log_p = log_prob_c + prefix->log_prob_nb_prev;
+            if (prefix->log_prob_nb_cur < log_p)
+              prefix->previous_timesteps = nullptr;
+            prefix->log_prob_nb_cur =
+                log_sum_exp(prefix->log_prob_nb_cur, log_p);
+          }
+          Prefix* new_prefix = prefix->get_child(c, trie);
+          if (!new_prefix) continue;
+
+          double log_p = kNegInf;
+          if (c == prefix->character && prefix->log_prob_b_prev != kNegInf) {
+            log_p = log_prob_c + prefix->log_prob_b_prev;
+          } else if (c != prefix->character) {
+            log_p = log_prob_c + prefix->score;
+          }
+          if (scorer) {
+            Prefix* to_score = scorer->utf8_mode ? new_prefix : prefix;
+            if (is_scoring_boundary(to_score, c)) log_p += lm_score(to_score);
+          }
+          if (new_prefix->log_prob_nb_cur < log_p) {
+            new_prefix->previous_timesteps = prefix->timesteps;
+            new_prefix->new_timestep = abs_time_step;
+          }
+          new_prefix->log_prob_nb_cur =
+              log_sum_exp(new_prefix->log_prob_nb_cur, log_p);
+        }
+      }
+
+      prefixes.clear();
+      root->iterate_to_vec(&prefixes);
+      if (prefixes.size() > beam_size) {
+        std::sort(prefixes.begin(), prefixes.end(), prefix_compare);
+        for (size_t i = beam_size; i < prefixes.size(); ++i)
+          prefixes[i]->remove();
+        prefixes.resize(beam_size);
+      }
+      ++abs_time_step;
+    }
+  }
+
+  struct Output {
+    std::vector<int> tokens;
+    std::vector<int> timesteps;
+    double confidence;
+  };
+
+  std::vector<Output> decode(size_t num_results) {
+    std::vector<Prefix*> candidates = prefixes;
+    std::unordered_map<const Prefix*, double> scores;
+    for (Prefix* p : candidates) scores[p] = p->score;
+    if (scorer) {
+      for (size_t i = 0; i < beam_size && i < candidates.size(); ++i) {
+        Prefix* prefix = candidates[i];
+        Prefix* boundary = scorer->utf8_mode ? prefix : prefix->parent;
+        if (boundary && !is_scoring_boundary(boundary, prefix->character)) {
+          auto ngram = make_ngram(prefix);
+          bool bos = ngram.size() < static_cast<size_t>(scorer->lm.order);
+          scores[prefix] += scorer->cond_prob(ngram, bos) * scorer->alpha +
+                            scorer->beta;
+        }
+      }
+    }
+    std::sort(candidates.begin(), candidates.end(),
+              [&](const Prefix* a, const Prefix* b) {
+                if (scores[a] == scores[b]) return a->character < b->character;
+                return scores[a] > scores[b];
+              });
+    std::vector<Output> outputs;
+    size_t n = std::min(candidates.size(), num_results);
+    for (size_t i = 0; i < n; ++i) {
+      Prefix* p = candidates[i];
+      Output out;
+      out.confidence = scores[p];
+      for (Prefix* node = p; node->parent; node = node->parent)
+        out.tokens.push_back(node->character);
+      std::reverse(out.tokens.begin(), out.tokens.end());
+      for (TimestepNode* t = p->timesteps; t && t->parent; t = t->parent)
+        out.timesteps.push_back(t->data);
+      std::reverse(out.timesteps.begin(), out.timesteps.end());
+      outputs.push_back(std::move(out));
+    }
+    return outputs;
+  }
+};
+
+}  // namespace
+
+// ------------------------------------------------------------------ C ABI
+extern "C" {
+
+void* decoder_create(const char* labels_blob, int n_labels, int space_index,
+                     int beam_size, double cutoff_prob, int cutoff_top_n) {
+  Decoder* d = new Decoder();
+  // labels_blob: n_labels entries of (uint16 len, bytes)
+  const uint8_t* p = reinterpret_cast<const uint8_t*>(labels_blob);
+  for (int i = 0; i < n_labels; ++i) {
+    uint16_t len;
+    std::memcpy(&len, p, 2);
+    p += 2;
+    d->labels.emplace_back(reinterpret_cast<const char*>(p), len);
+    p += len;
+    if (d->labels.back() == " ") d->space_id = i;
+  }
+  d->blank_id = n_labels;
+  d->beam_size = beam_size;
+  d->cutoff_prob = cutoff_prob;
+  d->cutoff_top_n = cutoff_top_n;
+  d->init();
+  return d;
+}
+
+int decoder_enable_scorer(void* handle, const char* scorer_path, double alpha,
+                          double beta) {
+  Decoder* d = static_cast<Decoder*>(handle);
+  auto scorer = std::make_shared<Scorer>();
+  std::string err;
+  if (!scorer->load(scorer_path, &err)) return 1;
+  if (!std::isnan(alpha)) scorer->alpha = alpha;
+  if (!std::isnan(beta)) scorer->beta = beta;
+  d->scorer = scorer;
+  d->init();  // dictionary state must thread from the root
+  return 0;
+}
+
+void decoder_set_alpha_beta(void* handle, double alpha, double beta) {
+  Decoder* d = static_cast<Decoder*>(handle);
+  if (d->scorer) {
+    d->scorer->alpha = alpha;
+    d->scorer->beta = beta;
+  }
+}
+
+void decoder_add_hot_word(void* handle, const char* word, float boost) {
+  static_cast<Decoder*>(handle)->hot_words[word] = boost;
+}
+
+void decoder_clear_hot_words(void* handle) {
+  static_cast<Decoder*>(handle)->hot_words.clear();
+}
+
+void decoder_next(void* handle, const double* probs, int time_dim,
+                  int class_dim) {
+  static_cast<Decoder*>(handle)->next(probs, time_dim, class_dim);
+}
+
+// Flattens up to num_results outputs. Returns number of results.
+// out_lengths[i] = token count of result i; tokens/timesteps packed
+// consecutively into out_tokens/out_timesteps (caller sizes max_tokens).
+int decoder_decode(void* handle, int num_results, int* out_tokens,
+                   int* out_timesteps, int* out_lengths,
+                   double* out_confidences, int max_tokens) {
+  Decoder* d = static_cast<Decoder*>(handle);
+  auto outputs = d->decode(num_results);
+  int pos = 0;
+  int n = 0;
+  for (auto& out : outputs) {
+    if (pos + static_cast<int>(out.tokens.size()) > max_tokens) break;
+    out_lengths[n] = static_cast<int>(out.tokens.size());
+    out_confidences[n] = out.confidence;
+    for (size_t i = 0; i < out.tokens.size(); ++i) {
+      out_tokens[pos] = out.tokens[i];
+      out_timesteps[pos] =
+          i < out.timesteps.size() ? out.timesteps[i] : -1;
+      ++pos;
+    }
+    ++n;
+  }
+  return n;
+}
+
+void decoder_reset(void* handle) { static_cast<Decoder*>(handle)->init(); }
+
+void decoder_free(void* handle) { delete static_cast<Decoder*>(handle); }
+
+// standalone scorer sanity check (early_training_checks surface)
+int scorer_validate(const char* path) {
+  Scorer s;
+  std::string err;
+  return s.load(path, &err) ? 0 : 1;
+}
+}

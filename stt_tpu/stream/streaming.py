@@ -102,7 +102,9 @@ class StreamState:
         self._left_ctx = np.zeros((mc.n_context, mc.n_input), np.float32)
         self._c, self._h = runtime.zero_state()
         self._probs_history: List[np.ndarray] = []
-        self.decoder = DecoderState(
+        from stt_tpu.decode.beam import make_decoder_state
+
+        self.decoder = make_decoder_state(
             runtime.alphabet, beam_width, cutoff_prob, cutoff_top_n,
             scorer, hot_words,
         )
