@@ -1,3 +1,3 @@
-from stt_tpu.data.audio import read_wav
+from stt_tpu.data.audio import read_audio, read_wav
 
-__all__ = ["read_wav"]
+__all__ = ["read_audio", "read_wav"]

@@ -53,6 +53,27 @@ def read_wav(path: str, desired_rate: int | None = None) -> Tuple[np.ndarray, in
     return audio, rate
 
 
+def read_audio(path: str, desired_rate: int | None = None) -> Tuple[np.ndarray, int]:
+    """Read an audio file by extension: .wav (PCM) or .flac (pure-Python
+    decoder, bit-exact). OGG/Opus/Vorbis/MP3 need codec libraries absent
+    from this build and raise a clear error."""
+    ext = path.lower().rsplit(".", 1)[-1]
+    if ext == "wav":
+        return read_wav(path, desired_rate)
+    if ext == "flac":
+        from stt_tpu.data.flac import read_flac
+
+        audio, rate = read_flac(path)
+        if desired_rate is not None and rate != desired_rate:
+            audio = resample(audio, rate, desired_rate)
+            rate = desired_rate
+        return audio, rate
+    raise ValueError(
+        f"unsupported audio format '.{ext}' ({path}): this build decodes "
+        "wav and flac; ogg/opus/vorbis/mp3 require codec libraries"
+    )
+
+
 def write_wav(path: str, audio: np.ndarray, rate: int = DEFAULT_RATE) -> None:
     with wave.open(path, "wb") as w:
         w.setnchannels(1)

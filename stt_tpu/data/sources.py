@@ -31,7 +31,7 @@ from typing import Callable, Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from stt_tpu.data.audio import read_wav, write_wav
+from stt_tpu.data.audio import read_audio, read_wav, write_wav
 
 MAGIC = b"SAMPLEDB"
 INT_SIZE = 4
@@ -85,7 +85,7 @@ class Sample:
 
 
 def _wav_loader(path: str):
-    return lambda: read_wav(path)
+    return lambda: read_audio(path)
 
 
 # -- CSV --------------------------------------------------------------------
