@@ -277,6 +277,10 @@ class DecoderState:
         self.root = root
         self.prefixes: List[_Prefix] = [root]
 
+    def _to_scorer_token(self, am_token: int) -> int:
+        """AM token -> prefix label (identity; wav2vec2 variant remaps)."""
+        return am_token
+
     # -- scoring helpers ---------------------------------------------------
 
     def _make_ngram(self, prefix: _Prefix) -> List[str]:
@@ -359,6 +363,9 @@ class DecoderState:
             trie = scorer.dictionary if scorer is not None else None
 
             for c, log_prob_c in self._pruned_emissions(prob):
+                # `c` is the AM token (blank test); `scorer_c` is the prefix
+                # label (identity except in the wav2vec2 variant, cpp:150)
+                scorer_c = self._to_scorer_token(c)
                 for prefix in self.prefixes[:beam_size]:
                     if full_beam and log_prob_c + prefix.score < min_cutoff:
                         break
@@ -372,7 +379,7 @@ class DecoderState:
                         prefix.log_prob_b_cur = _lse(prefix.log_prob_b_cur, log_p)
                         continue
 
-                    if c == prefix.character:
+                    if scorer_c == prefix.character:
                         log_p = log_prob_c + prefix.log_prob_nb_prev
                         if prefix.log_prob_nb_cur < log_p:
                             prefix.previous_timesteps = None
@@ -380,21 +387,24 @@ class DecoderState:
                             prefix.log_prob_nb_cur, log_p
                         )
 
-                    new_prefix = prefix.get_child(c, trie)
+                    new_prefix = prefix.get_child(scorer_c, trie)
                     if new_prefix is None:
                         continue
 
                     log_p = NEG_INF
-                    if c == prefix.character and prefix.log_prob_b_prev != NEG_INF:
+                    if (
+                        scorer_c == prefix.character
+                        and prefix.log_prob_b_prev != NEG_INF
+                    ):
                         log_p = log_prob_c + prefix.log_prob_b_prev
-                    elif c != prefix.character:
+                    elif scorer_c != prefix.character:
                         log_p = log_prob_c + prefix.score
 
                     if scorer is not None:
                         to_score = (
                             new_prefix if scorer.is_utf8_mode() else prefix
                         )
-                        if self._is_scoring_boundary(to_score, c):
+                        if self._is_scoring_boundary(to_score, scorer_c):
                             log_p += self._lm_score(to_score)
 
                     if new_prefix.log_prob_nb_cur < log_p:
@@ -450,6 +460,98 @@ class DecoderState:
                 )
             )
         return results
+
+
+class Wav2vec2DecoderState(DecoderState):
+    """Beam search for external (wav2vec2-style) acoustic models whose
+    class layout differs from this framework's convention
+    (ctc_beam_search_decoder.cpp:73-110 CTCDecoderForWav2vec2AM):
+
+    - blank may be any index (wav2vec2 uses 0), not alphabet_size;
+    - some AM symbols (e.g. <pad>/<s>/</s> controls) are ignored
+      entirely during expansion;
+    - AM token ids are remapped onto scorer-alphabet ids so the
+      vocabulary trie and LM n-grams line up.
+
+    `am_alphabet` decodes AM ids to strings; the scorer alphabet (from
+    the DecoderState's `alphabet` argument) defines prefix labels.
+    """
+
+    def __init__(
+        self,
+        alphabet: Alphabet,
+        beam_size: int,
+        blank_id: int,
+        am_alphabet: Optional[Alphabet] = None,
+        ignored_symbols: Sequence[int] = (),
+        cutoff_prob: float = 1.0,
+        cutoff_top_n: int = 40,
+        scorer: Optional[ScorerBase] = None,
+        hot_words: Optional[Dict[str, float]] = None,
+    ):
+        super().__init__(
+            alphabet, beam_size, cutoff_prob, cutoff_top_n, scorer, hot_words
+        )
+        self.blank_id = blank_id
+        self.ignored = set(int(i) for i in ignored_symbols)
+        self._am_to_scorer: Dict[int, int] = {}
+        if am_alphabet is not None:
+            for am_token in range(am_alphabet.size):
+                if am_token == blank_id or am_token in self.ignored:
+                    continue
+                label = am_alphabet.decode_single(am_token)
+                if alphabet.can_encode_single(label):
+                    self._am_to_scorer[am_token] = alphabet.encode_single(label)
+
+    def _remap(self, am_token: int) -> int:
+        return self._am_to_scorer.get(am_token, am_token)
+
+    def _pruned_emissions(self, prob: np.ndarray) -> List[Tuple[int, float]]:
+        """Ignored symbols are dropped; blank goes last so the timestep
+        merge assumption holds (cpp: 'Blank must go last')."""
+        pairs = [
+            (i, float(prob[i]))
+            for i in range(prob.shape[0])
+            if i != self.blank_id and i not in self.ignored
+        ]
+        pairs.append((self.blank_id, float(prob[self.blank_id])))
+        n = prob.shape[0]
+        cutoff_len = n
+        if self.cutoff_prob < 1.0 or self.cutoff_top_n < n:
+            pairs.sort(key=lambda p: -p[1])
+            if self.cutoff_prob < 1.0:
+                cum, cutoff_len = 0.0, 0
+                for _, p in pairs:
+                    cum += p
+                    cutoff_len += 1
+                    if cum >= self.cutoff_prob or cutoff_len >= self.cutoff_top_n:
+                        break
+            pairs = pairs[:cutoff_len]
+        return [(i, math.log(p + _FLT_MIN)) for i, p in pairs]
+
+    def _to_scorer_token(self, am_token: int) -> int:
+        return self._am_to_scorer.get(am_token, am_token)
+
+
+def ctc_beam_search_decoder_for_wav2vec2am(
+    probs: np.ndarray,
+    alphabet: Alphabet,
+    beam_size: int,
+    blank_id: int,
+    am_alphabet: Optional[Alphabet] = None,
+    ignored_symbols: Sequence[int] = (),
+    cutoff_prob: float = 1.0,
+    cutoff_top_n: int = 40,
+    scorer: Optional[ScorerBase] = None,
+    hot_words: Optional[Dict[str, float]] = None,
+    num_results: int = 1,
+) -> List[DecodeResult]:
+    state = Wav2vec2DecoderState(
+        alphabet, beam_size, blank_id, am_alphabet, ignored_symbols,
+        cutoff_prob, cutoff_top_n, scorer, hot_words,
+    )
+    state.next(probs)
+    return state.decode(num_results)
 
 
 def make_decoder_state(
