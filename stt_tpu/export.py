@@ -46,12 +46,43 @@ def export(config: SttConfig) -> str:
     out = save_artifact(
         config.export_dir, jax.device_get(state.params), metadata, alphabet
     )
+    write_model_card(config, metadata, out)
     log_info(f"Exported model artifact to {out}")
     if config.export_zip:
         zip_path = package_zip(out)
         log_info(f"Packaged {zip_path}")
         return zip_path
     return out
+
+
+def write_model_card(config: SttConfig, metadata: dict, out_dir: str) -> str:
+    """Model-card markdown beside the artifact (export.py model-card
+    parity)."""
+    import os
+
+    path = os.path.join(out_dir, "MODEL_CARD.md")
+    with open(path, "w") as f:
+        f.write(
+            f"# Model card for {config.export_model_name}\n\n"
+            f"- Author: {config.export_author_id or 'unknown'}\n"
+            f"- Model version: {config.export_model_version}\n"
+            f"- Language: {config.export_language or 'unspecified'}\n"
+            f"- License: {config.export_license or 'unspecified'}\n"
+            f"- Framework: stt_tpu {metadata['framework_version']} "
+            f"(graph v{metadata['graph_version']})\n\n"
+            f"## Geometry\n\n"
+            f"- n_hidden: {metadata['n_hidden']}\n"
+            f"- alphabet size + blank: {metadata['n_out']}\n"
+            f"- sample rate: {metadata['sample_rate']} Hz, "
+            f"{metadata['feature_win_len_ms']} ms window / "
+            f"{metadata['feature_win_step_ms']} ms step, "
+            f"{metadata['n_mfcc']} MFCCs\n\n"
+            f"## Decoder defaults\n\n"
+            f"- beam width: {metadata['beam_width']}\n"
+            f"- lm_alpha: {metadata['lm_alpha']}\n"
+            f"- lm_beta: {metadata['lm_beta']}\n"
+        )
+    return path
 
 
 def main(argv=None):
