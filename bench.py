@@ -15,12 +15,21 @@ audio-second/s per stream. vs_baseline is therefore the real-time factor.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: repeated bench runs skip the (slow) XLA
+# compilation instead of paying it every process
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("STT_TPU_COMPILE_CACHE", "/tmp/stt_tpu_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():

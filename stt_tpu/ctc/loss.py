@@ -60,6 +60,14 @@ def ctc_loss(
     s_idx = jnp.arange(s_max)
     valid_s = s_idx[None, :] < (2 * label_lengths[:, None] + 1)  # [B, S]
 
+    # Hoist the per-step emission gather out of the scan: one batched
+    # gather [B, T, S] (the scan body then is pure elementwise — the
+    # per-step take_along_axis dominated the loss cost on TPU otherwise).
+    emit_all = jnp.take_along_axis(
+        log_probs, ext[:, None, :], axis=2
+    )  # [B, T, S]
+    emit_all = emit_all.transpose(1, 0, 2)  # [T, B, S] for the scan
+
     # Transition mask: alpha[s] += alpha[s-2] only when ext[s] is a label
     # differing from ext[s-2] (i.e. not blank and not a repeat).
     ext_shift2 = jnp.concatenate(
@@ -69,20 +77,14 @@ def ctc_loss(
 
     alpha0 = jnp.full((batch, s_max), _NEG_INF, jnp.float32)
     # t=0 starts at s=0 (blank) or s=1 (first label)
-    alpha0 = alpha0.at[:, 0].set(log_probs[:, 0, blank])
-    first_label_lp = jnp.take_along_axis(
-        log_probs[:, 0, :], ext[:, 1:2], axis=1
-    )[:, 0]
+    alpha0 = alpha0.at[:, 0].set(emit_all[0, :, 0])
     alpha0 = alpha0.at[:, 1].set(
-        jnp.where(label_lengths > 0, first_label_lp, _NEG_INF)
+        jnp.where(label_lengths > 0, emit_all[0, :, 1], _NEG_INF)
     )
     alpha0 = jnp.where(valid_s, alpha0, _NEG_INF)
 
-    def step(alpha, t):
-        lp_t = jax.lax.dynamic_index_in_dim(
-            log_probs, t, axis=1, keepdims=False
-        )  # [B, C]
-        emit = jnp.take_along_axis(lp_t, ext, axis=1)  # [B, S]
+    def step(alpha, inp):
+        emit, t = inp  # [B, S], scalar
         prev1 = jnp.concatenate(
             [jnp.full((batch, 1), _NEG_INF), alpha[:, :-1]], axis=1
         )
@@ -97,7 +99,9 @@ def ctc_loss(
         active = (t < logit_lengths)[:, None]
         return jnp.where(active, new_alpha, alpha), None
 
-    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t_max))
+    alpha, _ = jax.lax.scan(
+        step, alpha0, (emit_all[1:], jnp.arange(1, t_max))
+    )
 
     # terminal states: last blank (2L) and last label (2L-1)
     end_blank = jnp.take_along_axis(alpha, (2 * label_lengths)[:, None], axis=1)[:, 0]

@@ -10,12 +10,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("STT_TPU_COMPILE_CACHE", "/tmp/stt_tpu_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def bench_batch_inference(batch: int, seconds: float) -> dict:
@@ -111,13 +118,14 @@ def bench_train_step(batch: int, seconds: float) -> dict:
         label_lengths=jnp.full((batch,), 80, jnp.int32),
     )
     key = jax.random.PRNGKey(0)
-    state, _ = train_step(state, b, key)
-    jax.block_until_ready(state.params)
+    state, metrics = train_step(state, b, key)
+    float(metrics.loss)  # force host materialization (block_until_ready is
+    # not reliable over remote-dispatch backends)
     times = []
     for _ in range(4):
         t0 = time.time()
         state, metrics = train_step(state, b, key)
-        jax.block_until_ready(state.params)
+        float(metrics.loss)
         times.append(time.time() - t0)
     wall = min(times)
     return {
