@@ -1,0 +1,231 @@
+"""StreamPool: many concurrent streams, one batched device program.
+
+The reference streaming engine is hard-wired to BATCH_SIZE=1
+(modelstate.h:16) — each stream pays a full model invocation. On TPU the
+chip is wildly underutilized at batch 1, so the pool packs every live
+stream's 16-frame chunk step into ONE batched call:
+
+  mfcc:  [S, chunk_samples] -> [S, 16, n_mfcc]      (S = pool slots)
+  infer: ([S,16,window_input], seq_len[S], c[S,H], h[S,H]) -> probs + state
+
+Slots with no ready audio tick with seq_len=0 — the LSTM masking freezes
+their state and emits nothing, so stragglers cost no correctness. Per
+stream the math is identical to the single-stream path (equivalence
+test); decoders stay host-side per stream.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stt_tpu.models import apply_model
+from stt_tpu.stream.streaming import N_STEPS
+
+
+class PooledStream:
+    """Handle for one slot. Interface mirrors serve.Stream."""
+
+    def __init__(self, pool: "StreamPool", slot: int):
+        self._pool = pool
+        self._slot = slot
+
+    def feed_audio_content(self, audio) -> None:
+        self._pool._feed(self._slot, audio)
+
+    def intermediate_decode(self) -> str:
+        self._pool._tick(force=False)
+        return self._pool._decoders[self._slot].decode(1)[0].transcript
+
+    def finish_stream(self) -> str:
+        return self._pool._finish(self._slot).transcript
+
+    def finish_stream_with_metadata(self, num_results: int = 1):
+        self._pool._flush_slot(self._slot)
+        results = self._pool._decoders[self._slot].decode(num_results)
+        self._pool._release(self._slot)
+        return self._pool._model._to_metadata(results)
+
+
+class StreamPool:
+    def __init__(self, model, max_streams: int = 8):
+        self._model = model
+        self.max_streams = max_streams
+        runtime = model._runtime
+        self._runtime = runtime
+        mc = runtime.model_config
+        fc = runtime.feature_config
+        self._chunk_samples = runtime.chunk_samples
+        n = mc.n_cell_dim
+        self._c = jnp.zeros((max_streams, n), jnp.float32)
+        self._h = jnp.zeros((max_streams, n), jnp.float32)
+        self._audio: List[np.ndarray] = [
+            np.zeros((0,), np.float32) for _ in range(max_streams)
+        ]
+        self._pending: List[List[np.ndarray]] = [[] for _ in range(max_streams)]
+        self._left_ctx = [
+            np.zeros((mc.n_context, mc.n_input), np.float32)
+            for _ in range(max_streams)
+        ]
+        self._decoders: List = [None] * max_streams
+        self._live = [False] * max_streams
+
+        def batched_mfcc(audio):
+            from stt_tpu.frontend import audio_to_mfcc
+
+            return audio_to_mfcc(audio, fc)
+
+        def batched_infer(params, windowed, seq_len, c, h):
+            logits, (c2, h2) = apply_model(
+                params, windowed, seq_len=seq_len, config=mc,
+                previous_state=(c, h), overlap=False,
+            )
+            return jax.nn.softmax(logits, axis=-1), c2, h2
+
+        self._mfcc = jax.jit(batched_mfcc)
+        self._infer = jax.jit(batched_infer)
+
+    # -- slot management ---------------------------------------------------
+
+    def create_stream(self) -> PooledStream:
+        from stt_tpu.decode.beam import make_decoder_state
+
+        for slot in range(self.max_streams):
+            if not self._live[slot]:
+                self._live[slot] = True
+                self._audio[slot] = np.zeros((0,), np.float32)
+                self._pending[slot] = []
+                mc = self._runtime.model_config
+                self._left_ctx[slot] = np.zeros(
+                    (mc.n_context, mc.n_input), np.float32
+                )
+                self._c = self._c.at[slot].set(0.0)
+                self._h = self._h.at[slot].set(0.0)
+                self._decoders[slot] = make_decoder_state(
+                    self._runtime.alphabet,
+                    self._model._beam_width,
+                    scorer=self._model.scorer,
+                    hot_words=self._model.hot_words or None,
+                )
+                return PooledStream(self, slot)
+        raise RuntimeError(f"stream pool exhausted ({self.max_streams} slots)")
+
+    def _release(self, slot: int) -> None:
+        self._live[slot] = False
+        self._decoders[slot] = None
+
+    # -- feeding / ticking -------------------------------------------------
+
+    def _feed(self, slot: int, audio) -> None:
+        audio = np.asarray(audio)
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
+        self._audio[slot] = np.concatenate(
+            [self._audio[slot], audio.astype(np.float32)]
+        )
+        self._tick(force=False)
+
+    def _mfcc_ready(self, slot: int) -> bool:
+        return len(self._audio[slot]) >= self._chunk_samples
+
+    def _tick(self, force: bool) -> None:
+        """Advance every slot that has work, in one batched mfcc + one
+        batched infer call."""
+        fc = self._runtime.feature_config
+        mc = self._runtime.model_config
+        # 1) batched MFCC for slots with a full audio chunk
+        while any(self._mfcc_ready(s) for s in range(self.max_streams)):
+            chunks = np.zeros(
+                (self.max_streams, self._chunk_samples), np.float32
+            )
+            had = []
+            for s in range(self.max_streams):
+                if self._mfcc_ready(s):
+                    chunks[s] = self._audio[s][: self._chunk_samples]
+                    self._audio[s] = self._audio[s][N_STEPS * fc.step_samples :]
+                    had.append(s)
+            frames = np.asarray(self._mfcc(jnp.asarray(chunks)))
+            for s in had:
+                self._pending[s].extend(frames[s])
+        # 2) batched inference for slots with enough frames
+        n_ctx = mc.n_context
+        while True:
+            ready = [
+                s for s in range(self.max_streams)
+                if self._live[s] and len(self._pending[s]) >= N_STEPS + n_ctx
+            ]
+            if not ready:
+                break
+            self._run_infer({s: N_STEPS for s in ready})
+
+    def _run_infer(self, valid_by_slot: Dict[int, int]) -> None:
+        mc = self._runtime.model_config
+        n_ctx = mc.n_context
+        S = self.max_streams
+        windowed = np.zeros((S, N_STEPS, mc.window_input), np.float32)
+        seq_len = np.zeros((S,), np.int32)
+        for s, valid in valid_by_slot.items():
+            pending = (
+                np.asarray(self._pending[s])
+                if self._pending[s]
+                else np.zeros((0, mc.n_input), np.float32)
+            )
+            block = pending[: N_STEPS + n_ctx]
+            pad = N_STEPS + n_ctx - len(block)
+            if pad > 0:
+                block = np.concatenate(
+                    [block, np.zeros((pad, mc.n_input), np.float32)]
+                )
+            stacked = np.concatenate([self._left_ctx[s], block])
+            width = mc.window_width
+            windowed[s] = np.stack(
+                [stacked[i : i + width].reshape(-1) for i in range(N_STEPS)]
+            )
+            seq_len[s] = valid
+            self._left_ctx[s] = stacked[valid : valid + n_ctx]
+            self._pending[s] = self._pending[s][valid:]
+        probs, self._c, self._h = self._infer(
+            self._runtime.params, jnp.asarray(windowed),
+            jnp.asarray(seq_len), self._c, self._h,
+        )
+        probs = np.asarray(probs)
+        for s, valid in valid_by_slot.items():
+            if valid > 0:
+                self._decoders[s].next(probs[s, :valid])
+
+    # -- finishing ---------------------------------------------------------
+
+    def _flush_slot(self, slot: int) -> None:
+        fc = self._runtime.feature_config
+        mc = self._runtime.model_config
+        # leftover full windows
+        n_full = max(
+            0,
+            (len(self._audio[slot]) - fc.window_samples) // fc.step_samples + 1,
+        )
+        if n_full > 0:
+            take = (n_full - 1) * fc.step_samples + fc.window_samples
+            from stt_tpu.frontend import audio_to_mfcc_numpy
+
+            self._pending[slot].extend(
+                audio_to_mfcc_numpy(self._audio[slot][:take], fc)
+            )
+        self._audio[slot] = np.zeros((0,), np.float32)
+        real = len(self._pending[slot])
+        self._pending[slot].extend(
+            np.zeros((mc.n_context, mc.n_input), np.float32)
+        )
+        while real > 0:
+            valid = min(N_STEPS, real)
+            self._run_infer({slot: valid})
+            real -= valid
+        self._pending[slot] = []
+
+    def _finish(self, slot: int):
+        self._flush_slot(slot)
+        result = self._decoders[slot].decode(1)[0]
+        self._release(slot)
+        return result
