@@ -103,6 +103,16 @@ class FstDictionary:
             return int(arcs[idx]["nextstate"])
         return None
 
+    def arcs(self, state: int) -> list:
+        """(ilabel, nextstate) pairs out of a state (tooling surface,
+        trie_load.cc `arcs` inspection)."""
+        s = self._states[state]
+        pos, narcs = int(s["pos"]), int(s["narcs"])
+        return [
+            (int(a["ilabel"]), int(a["nextstate"]))
+            for a in self._arcs[pos : pos + narcs]
+        ]
+
     def step(self, state: int, label: int, reset: bool = True) -> Optional[int]:
         nxt = self._find_arc(state, label + 1)
         if nxt is None:

@@ -48,7 +48,7 @@ class KenLMScorer(ScorerBase):
             with open(scorer_path, "rb") as f:
                 data = f.read()
         self.lm = KenLMModel(data)
-        off = self.lm.end_of_search_offset
+        off = self.lm.end_of_lm_offset
         if bytes(data[off : off + 4]) != MAGIC:
             raise ScorerLoadError(
                 "scorer file has no TRIE trailer at the end of the LM "

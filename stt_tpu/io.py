@@ -1,0 +1,353 @@
+"""Remote-path IO: open/copy/list/remove files on remote storage.
+
+Counterpart of the reference's util/io.py (gs:// and hdfs:// wrappers over
+tf.io.gfile, training/coqui_stt_training/util/io.py:9-112). Instead of
+routing through TensorFlow, schemes dispatch to pluggable handlers:
+
+  - local paths     -> stdlib (always available)
+  - gs://bucket/key -> Google Cloud Storage JSON API over stdlib urllib
+                       (needs network + a bearer token in
+                       GCS_OAUTH_TOKEN; anonymous for public buckets)
+  - mem://          -> in-process store (tests, pipelines fixtures)
+
+Register new schemes (s3, hdfs, ...) with ``register_scheme``.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import io as _stdio
+import json
+import os
+import posixpath
+import urllib.parse
+import urllib.request
+from typing import Dict, List, Tuple
+
+
+class PathHandler:
+    """Interface one storage scheme implements."""
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def open(self, path: str, mode: str = "r"):
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> List[str]:
+        raise NotImplementedError
+
+    def glob(self, pattern: str) -> List[str]:
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError
+
+    def rmtree(self, path: str) -> None:
+        raise NotImplementedError
+
+
+_HANDLERS: Dict[str, PathHandler] = {}
+
+
+def register_scheme(scheme: str, handler: PathHandler) -> None:
+    _HANDLERS[scheme] = handler
+
+
+def _split_scheme(path: str) -> Tuple[str, str]:
+    path = str(path)
+    idx = path.find("://")
+    if idx <= 0:
+        return "", path
+    return path[:idx], path[idx + 3 :]
+
+
+def is_remote_path(path) -> bool:
+    """True iff the path carries a registered (or known) remote scheme."""
+    scheme, _ = _split_scheme(str(path))
+    return bool(scheme) and scheme != "file"
+
+
+def _handler(path: str) -> PathHandler:
+    scheme, _ = _split_scheme(path)
+    if not scheme or scheme == "file":
+        return _LOCAL
+    try:
+        return _HANDLERS[scheme]
+    except KeyError:
+        raise ValueError(
+            f"no IO handler registered for scheme {scheme!r} "
+            f"(path {path!r}); register one with stt_tpu.io.register_scheme"
+        ) from None
+
+
+def path_exists_remote(path) -> bool:
+    return _handler(str(path)).exists(str(path))
+
+
+def isdir_remote(path) -> bool:
+    return _handler(str(path)).isdir(str(path))
+
+
+def open_remote(path, mode="r", buffering=-1, encoding=None, newline=None,
+                closefd=True, opener=None):
+    """open() that also accepts remote paths. The extra keyword arguments
+    apply to local files only (matching the reference's contract)."""
+    path = str(path)
+    if not is_remote_path(path):
+        return open(path, mode, buffering=buffering, encoding=encoding,
+                    newline=newline, closefd=closefd, opener=opener)
+    return _handler(path).open(path, mode)
+
+
+def listdir_remote(path) -> List[str]:
+    return _handler(str(path)).listdir(str(path))
+
+
+def glob_remote(pattern) -> List[str]:
+    return _handler(str(pattern)).glob(str(pattern))
+
+
+def remove_remote(path) -> None:
+    _handler(str(path)).remove(str(path))
+
+
+def rmtree_remote(path) -> None:
+    _handler(str(path)).rmtree(str(path))
+
+
+def copy_remote(src, dst, overwrite: bool = False) -> None:
+    """Copy between any two handlers (local<->remote in either direction)."""
+    src, dst = str(src), str(dst)
+    if not overwrite and path_exists_remote(dst):
+        raise FileExistsError(dst)
+    with open_remote(src, "rb") as fin, open_remote(dst, "wb") as fout:
+        while True:
+            chunk = fin.read(1 << 20)
+            if not chunk:
+                break
+            fout.write(chunk)
+
+
+# -- local ------------------------------------------------------------------
+
+
+class _LocalHandler(PathHandler):
+    @staticmethod
+    def _strip(path: str) -> str:
+        return path[7:] if path.startswith("file://") else path
+
+    def exists(self, path):
+        return os.path.exists(self._strip(path))
+
+    def isdir(self, path):
+        return os.path.isdir(self._strip(path))
+
+    def open(self, path, mode="r"):
+        return open(self._strip(path), mode)
+
+    def listdir(self, path):
+        return os.listdir(self._strip(path))
+
+    def glob(self, pattern):
+        import glob as _glob
+
+        return sorted(_glob.glob(self._strip(pattern)))
+
+    def remove(self, path):
+        os.remove(self._strip(path))
+
+    def rmtree(self, path):
+        import shutil
+
+        shutil.rmtree(self._strip(path))
+
+
+_LOCAL = _LocalHandler()
+
+
+# -- in-memory (tests / fixtures) --------------------------------------------
+
+
+class MemoryHandler(PathHandler):
+    """In-process blob store: mem://anything/key. Directory semantics are
+    prefix-based, like object stores."""
+
+    def __init__(self):
+        self.blobs: Dict[str, bytes] = {}
+
+    def exists(self, path):
+        return path in self.blobs or self.isdir(path)
+
+    def isdir(self, path):
+        prefix = path.rstrip("/") + "/"
+        return any(k.startswith(prefix) for k in self.blobs)
+
+    def open(self, path, mode="r"):
+        binary = "b" in mode
+        if "r" in mode:
+            if path not in self.blobs:
+                raise FileNotFoundError(path)
+            data = self.blobs[path]
+            return _stdio.BytesIO(data) if binary else _stdio.StringIO(
+                data.decode("utf-8")
+            )
+        store = self.blobs
+
+        class _Writer(_stdio.BytesIO if binary else _stdio.StringIO):
+            def close(inner):
+                data = inner.getvalue()
+                store[path] = data if binary else data.encode("utf-8")
+                super().close()
+
+        return _Writer()
+
+    def listdir(self, path):
+        prefix = path.rstrip("/") + "/"
+        names = set()
+        for key in self.blobs:
+            if key.startswith(prefix):
+                names.add(key[len(prefix):].split("/", 1)[0])
+        if not names and not self.isdir(path):
+            raise FileNotFoundError(path)
+        return sorted(names)
+
+    def glob(self, pattern):
+        return sorted(k for k in self.blobs if fnmatch.fnmatchcase(k, pattern))
+
+    def remove(self, path):
+        try:
+            del self.blobs[path]
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def rmtree(self, path):
+        prefix = path.rstrip("/") + "/"
+        doomed = [k for k in self.blobs if k.startswith(prefix)]
+        if not doomed:
+            raise FileNotFoundError(path)
+        for k in doomed:
+            del self.blobs[k]
+
+
+# -- Google Cloud Storage ------------------------------------------------------
+
+
+class GCSHandler(PathHandler):
+    """gs:// over the GCS JSON API with stdlib urllib.
+
+    Anonymous for public objects; set GCS_OAUTH_TOKEN for private buckets.
+    Writes buffer in memory and upload on close (reference gfile semantics).
+    """
+
+    API = "https://storage.googleapis.com/storage/v1"
+    UPLOAD = "https://storage.googleapis.com/upload/storage/v1"
+
+    @staticmethod
+    def _parse(path: str) -> Tuple[str, str]:
+        assert path.startswith("gs://"), path
+        rest = path[5:]
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    def _request(self, url: str, data=None, method="GET", headers=None):
+        req = urllib.request.Request(url, data=data, method=method)
+        token = os.environ.get("GCS_OAUTH_TOKEN")
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
+        for k, v in (headers or {}).items():
+            req.add_header(k, v)
+        return urllib.request.urlopen(req, timeout=60)
+
+    def _object_url(self, bucket: str, key: str, media: bool) -> str:
+        url = f"{self.API}/b/{bucket}/o/{urllib.parse.quote(key, safe='')}"
+        return url + ("?alt=media" if media else "")
+
+    def exists(self, path):
+        bucket, key = self._parse(path)
+        try:
+            self._request(self._object_url(bucket, key, media=False)).read()
+            return True
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return self.isdir(path)
+            raise
+
+    def _list(self, bucket: str, prefix: str, delimiter: str = "/"):
+        q = urllib.parse.urlencode(
+            {"prefix": prefix, "delimiter": delimiter} if delimiter
+            else {"prefix": prefix}
+        )
+        resp = json.loads(self._request(f"{self.API}/b/{bucket}/o?{q}").read())
+        items = [it["name"] for it in resp.get("items", [])]
+        prefixes = resp.get("prefixes", [])
+        return items, prefixes
+
+    def isdir(self, path):
+        bucket, key = self._parse(path)
+        prefix = key.rstrip("/") + "/" if key else ""
+        items, prefixes = self._list(bucket, prefix)
+        return bool(items or prefixes)
+
+    def open(self, path, mode="r"):
+        bucket, key = self._parse(path)
+        binary = "b" in mode
+        if "r" in mode:
+            data = self._request(self._object_url(bucket, key, media=True)).read()
+            return _stdio.BytesIO(data) if binary else _stdio.StringIO(
+                data.decode("utf-8")
+            )
+        handler = self
+
+        class _Writer(_stdio.BytesIO if binary else _stdio.StringIO):
+            def close(inner):
+                payload = inner.getvalue()
+                if not binary:
+                    payload = payload.encode("utf-8")
+                q = urllib.parse.urlencode(
+                    {"uploadType": "media", "name": key}
+                )
+                handler._request(
+                    f"{handler.UPLOAD}/b/{bucket}/o?{q}",
+                    data=payload,
+                    method="POST",
+                    headers={"Content-Type": "application/octet-stream"},
+                )
+                super().close()
+
+        return _Writer()
+
+    def listdir(self, path):
+        bucket, key = self._parse(path)
+        prefix = key.rstrip("/") + "/" if key else ""
+        items, prefixes = self._list(bucket, prefix)
+        names = [posixpath.basename(it) for it in items if it != prefix]
+        names += [p[len(prefix):].rstrip("/") for p in prefixes]
+        return sorted(names)
+
+    def glob(self, pattern):
+        bucket, key = self._parse(pattern)
+        fixed = key.split("*", 1)[0].rsplit("/", 1)[0] if "*" in key else key
+        items, _ = self._list(bucket, fixed, delimiter="")
+        return sorted(
+            f"gs://{bucket}/{it}"
+            for it in items
+            if fnmatch.fnmatchcase(it, key)
+        )
+
+    def remove(self, path):
+        bucket, key = self._parse(path)
+        self._request(self._object_url(bucket, key, media=False),
+                      method="DELETE").read()
+
+    def rmtree(self, path):
+        bucket, key = self._parse(path)
+        items, _ = self._list(bucket, key.rstrip("/") + "/", delimiter="")
+        for it in items:
+            self.remove(f"gs://{bucket}/{it}")
+
+
+register_scheme("gs", GCSHandler())

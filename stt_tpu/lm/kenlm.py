@@ -186,7 +186,8 @@ class _Longest:
 
 class KenLMModel:
     def __init__(self, data: bytes):
-        self._parse(memoryview(data))
+        self._data = memoryview(data)
+        self._parse(self._data)
 
     @classmethod
     def from_file(cls, path: str) -> "KenLMModel":
@@ -305,7 +306,34 @@ class KenLMModel:
         return 0
 
     def vocab_strings(self, data: Optional[bytes] = None) -> List[str]:
-        raise NotImplementedError  # requires the trailing strings section
+        """The trailing vocabulary strings section: counts[0]
+        null-terminated words in vocab-id order, present iff the binary
+        was built without kenlm's `-v` (has_vocabulary header flag).
+        Layout verified against build_binary output."""
+        if not self.has_vocabulary:
+            return []
+        tail = bytes(
+            (self._data if data is None else data)[self.end_of_search_offset :]
+        )
+        words: List[str] = []
+        pos = 0
+        for _ in range(self.counts[0]):
+            end = tail.index(b"\x00", pos)
+            words.append(tail[pos:end].decode("utf-8"))
+            pos = end + 1
+        return words
+
+    @property
+    def end_of_lm_offset(self) -> int:
+        """First byte past the whole LM (search data + optional vocabulary
+        strings) — where a .scorer package's TRIE trailer begins."""
+        if not self.has_vocabulary:
+            return self.end_of_search_offset
+        tail = bytes(self._data[self.end_of_search_offset :])
+        pos = 0
+        for _ in range(self.counts[0]):
+            pos = tail.index(b"\x00", pos) + 1
+        return self.end_of_search_offset + pos
 
     @property
     def bos_id(self) -> int:

@@ -47,7 +47,10 @@ def _nonpositive_float31(value: float) -> int:
     return _float_bits(value) & 0x7FFFFFFF
 
 
-def write_trie_binary(model: ArpaModel) -> bytes:
+def write_trie_binary(model: ArpaModel, include_vocab: bool = False) -> bytes:
+    """include_vocab appends the vocabulary-strings section (kenlm
+    build_binary's default; the reference LM pipeline passes -v to strip
+    it, data/lm/generate_lm.py:119-124, so scorer packages default off)."""
     order = model.order
     ln10 = math.log(10.0)
 
@@ -131,7 +134,7 @@ def write_trie_binary(model: ArpaModel) -> bytes:
     sanity += struct.pack("<Q", 1)
     out += sanity
     out += struct.pack(
-        "<B3xfi?3xI", order, 1.5, TRIE, False, _TRIE_SEARCH_VERSION
+        "<B3xfi?3xI", order, 1.5, TRIE, include_vocab, _TRIE_SEARCH_VERSION
     )
     out += struct.pack(f"<{order}Q", *counts)
     header_size = _align8(len(out))
@@ -215,5 +218,11 @@ def write_trie_binary(model: ArpaModel) -> bytes:
         writer.write(at, word_bits, path[-1])
         writer.write(at + word_bits, 31, _nonpositive_float31(prob))
     out += bytes(writer.buf)
+
+    if include_vocab:
+        # null-terminated strings in vocab-id order: <unk>, then hash order
+        out += b"<unk>\x00"
+        for _, w in hashed:
+            out += w.encode("utf-8") + b"\x00"
 
     return bytes(out)

@@ -135,6 +135,7 @@ struct KenLM {
   std::vector<const float*> quant_prob_tables, quant_backoff_tables;
   const float* longest_table = nullptr;
   uint64_t end_of_search = 0;
+  uint64_t end_of_lm = 0;  // past optional vocabulary strings section
   uint32_t bos_id = 0, eos_id = 0;
 
   bool parse(std::vector<uint8_t>&& bytes, std::string* err) {
@@ -241,6 +242,20 @@ struct KenLM {
     longest.bits = data.data() + pos;
     pos += ((1 + counts[order - 1]) * longest.total_bits + 7) / 8 + 8;
     end_of_search = pos;
+
+    // binaries built without kenlm's -v append counts[0] null-terminated
+    // vocabulary strings after the search section; a .scorer trailer (if
+    // any) starts past them
+    end_of_lm = pos;
+    bool has_vocabulary = data[sanity + 12] != 0;
+    if (has_vocabulary) {
+      uint64_t p = pos;
+      for (uint64_t i = 0; i < counts[0] && p < data.size(); ++i) {
+        while (p < data.size() && data[p] != 0) ++p;
+        ++p;  // skip the NUL
+      }
+      end_of_lm = p;
+    }
 
     bos_id = vocab_index("<s>");
     eos_id = vocab_index("</s>");
@@ -488,7 +503,7 @@ struct Scorer {
     std::vector<uint8_t> bytes((std::istreambuf_iterator<char>(in)),
                                std::istreambuf_iterator<char>());
     if (!lm.parse(std::move(bytes), err)) return false;
-    uint64_t off = lm.end_of_search;
+    uint64_t off = lm.end_of_lm;
     const uint8_t* d = lm.data.data();
     if (lm.data.size() < off + 25 || std::memcmp(d + off, "EIRT", 4) != 0) {
       *err = "scorer has no TRIE trailer";

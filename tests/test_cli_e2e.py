@@ -126,6 +126,40 @@ def test_transcribe_tool(trained_config, run_dirs, tmp_path):
     assert matched >= len(expected) * 0.7, (joined, matched)
 
 
+def test_client_cli_modes(trained_config, run_dirs, capsys):
+    """The `stt` CLI client (client.cc parity): plain, JSON word-timing,
+    and streaming modes all decode the smoke utterance."""
+    from stt_tpu.client import main as client_main
+
+    wav = "/root/reference/data/smoke_test/LDC93S1.wav"
+    base = ["--model", run_dirs["export"], "--audio", wav]
+
+    assert client_main(base) == 0
+    assert capsys.readouterr().out.strip() == SMOKE_TRANSCRIPT
+
+    assert client_main(base + ["--json", "--candidate_transcripts", "2"]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    words = doc["transcripts"][0]["words"]
+    assert [w["word"] for w in words] == SMOKE_TRANSCRIPT.split()
+    # word timings are monotonically non-decreasing and non-negative
+    starts = [w["start_time"] for w in words]
+    assert starts == sorted(starts) and all(s >= 0 for s in starts)
+    assert all(w["duration"] >= 0 for w in words)
+
+    assert client_main(base + ["--stream", "320"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[-1] == SMOKE_TRANSCRIPT  # final decode
+    assert len(lines) > 1  # intermediates were printed
+
+
+def test_client_hot_words_parsing():
+    from stt_tpu.client import parse_hot_words
+
+    assert parse_hot_words("foo:1.5,bar:-2") == [("foo", 1.5), ("bar", -2.0)]
+    with pytest.raises(ValueError):
+        parse_hot_words("noboost")
+
+
 def test_cli_flag_parsing():
     from stt_tpu.config import parse_flags
 
