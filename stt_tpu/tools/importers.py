@@ -85,6 +85,72 @@ def get_validate_label(args):
     return importlib.import_module(module_name).validate_label
 
 
+CSV_COLUMNS = ("wav_filename", "wav_filesize", "transcript")
+
+
+def extract_archive(archive_path: str, target_dir: str,
+                    expected_dir: Optional[str] = None) -> None:
+    """Extract a tar/zip archive unless `expected_dir` already exists
+    (the reference importers' _maybe_extract idiom)."""
+    if expected_dir and os.path.isdir(expected_dir):
+        print(f'Found directory "{expected_dir}" - not extracting.')
+        return
+    print(f"Extracting {archive_path} into {target_dir}...")
+    if archive_path.endswith(".zip"):
+        import zipfile
+
+        with zipfile.ZipFile(archive_path) as z:
+            z.extractall(target_dir)
+    else:
+        import tarfile
+
+        with tarfile.open(archive_path) as tar:
+            tar.extractall(target_dir)
+
+
+def write_samples_csv(csv_path: str, rows) -> None:
+    """Write the standard (wav_filename, wav_filesize, transcript) CSV."""
+    import csv as _csv
+
+    with open(csv_path, "w", newline="", encoding="utf-8") as f:
+        writer = _csv.writer(f)
+        writer.writerow(CSV_COLUMNS)
+        writer.writerows(rows)
+    print(f"Wrote {csv_path} ({len(rows)} samples)")
+
+
+def deterministic_split(rows, n_dev: int, n_test: int, seed: int = 12345):
+    """Seeded shuffle split -> (train, dev, test); test takes the last
+    n_test shuffled indices, dev the n_dev before them (the reference's
+    Chinese-corpora recipe, e.g. bin/import_freestmandarin.py:36-44)."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: r[0])
+    indices = np.arange(len(rows))
+    np.random.RandomState(seed).shuffle(indices)
+    test_idx = indices[len(rows) - n_test :]
+    dev_idx = indices[len(rows) - n_test - n_dev : len(rows) - n_test]
+    train_idx = indices[: len(rows) - n_test - n_dev]
+    pick = lambda idx: [rows[i] for i in idx]  # noqa: E731
+    return pick(train_idx), pick(dev_idx), pick(test_idx)
+
+
+def wav_duration_from_size(filesize: int, rate: int = 16000) -> float:
+    """Duration of a 16-bit mono wav from its byte size (44-byte header)."""
+    return (filesize - 44) / rate / 2
+
+
+def trim_longer_than(rows, max_secs: float, rate: int = 16000):
+    """Drop rows whose wav (by filesize) exceeds max_secs — the train-set
+    trim every Chinese-corpus importer applies."""
+    kept = [
+        r for r in rows if wav_duration_from_size(int(r[1]), rate) <= max_secs
+    ]
+    if len(kept) < len(rows):
+        print(f"Trimming {len(rows) - len(kept)} samples > {max_secs} seconds")
+    return kept
+
+
 def validate_label_eng(label: str) -> Optional[str]:
     """Normalize an English transcript to [a-z '] or reject it."""
     if re.search(r"[0-9]|[(<\[\]&*{]", label) is not None:
