@@ -151,6 +151,34 @@ def trim_longer_than(rows, max_secs: float, rate: int = 16000):
     return kept
 
 
+def filter_sample(wav_filename: str, label: Optional[str], counter: Counter,
+                  max_secs: float, min_ms_per_char: float = 30.0,
+                  rate: int = 16000) -> Optional[tuple]:
+    """The per-sample acceptance rule every reference importer applies
+    (e.g. bin/import_slr57.py one_sample): file must exist, label must
+    validate, audio must be long enough for the transcript
+    (>= min_ms_per_char per character) and no longer than max_secs.
+    Returns a CSV row or None; updates counter either way."""
+    counter["all"] += 1
+    if not os.path.isfile(wav_filename):
+        counter["failed"] += 1
+        return None
+    file_size = os.path.getsize(wav_filename)
+    frames = (file_size - 44) // 2
+    counter["total_time"] += frames
+    if label is None:
+        counter["invalid_label"] += 1
+        return None
+    if frames / rate * 1000 / min_ms_per_char < len(label):
+        counter["too_short"] += 1
+        return None
+    if frames / rate > max_secs:
+        counter["too_long"] += 1
+        return None
+    counter["imported_time"] += frames
+    return (wav_filename, file_size, label)
+
+
 def validate_label_eng(label: str) -> Optional[str]:
     """Normalize an English transcript to [a-z '] or reject it."""
     if re.search(r"[0-9]|[(<\[\]&*{]", label) is not None:

@@ -134,6 +134,235 @@ def test_import_magicdata(tmp_path):
     assert len(read_csv(csvs[1])) == 3
 
 
+def make_sph(path, seconds=2.0, rate=16000, channels=1, coding="pcm"):
+    from stt_tpu.data.sph import write_sph
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    n = int(seconds * rate)
+    tone = (0.1 * np.sin(np.arange(n) * 0.03)).astype(np.float32)
+    audio = tone if channels == 1 else np.stack([tone, -tone], axis=-1)
+    write_sph(path, audio, rate, coding=coding)
+
+
+def test_import_ted(tmp_path):
+    from stt_tpu.tools.import_ted import import_release
+
+    rel = tmp_path / "TEDLIUM_release2"
+    for subset in ("train", "dev", "test"):
+        (rel / subset / "stm").mkdir(parents=True)
+        (rel / subset / "sph").mkdir(parents=True)
+    make_sph(str(rel / "dev" / "sph" / "TalkA.sph"), seconds=10.0)
+    (rel / "dev" / "stm" / "TalkA.stm").write_text(
+        "TalkA 1 spk 1.00 3.50 <o,f0,male> hello there world\n"
+        "TalkA 1 spk 4.00 6.00 <o,f0,male> ignore_time_segment_in_scoring\n"
+        "TalkA 1 spk 6.50 9.00 <o,f0,male> second segment text\n"
+    )
+    csvs = import_release(str(tmp_path))
+    dev = read_csv(csvs[1])
+    texts = [r["transcript"] for r in dev]
+    assert "hello there world" in texts and "second segment text" in texts
+    # the 2.5 s slice is 2.5 s of 16 kHz pcm
+    first = next(r for r in dev if r["transcript"] == "hello there world")
+    assert int(first["wav_filesize"]) == pytest.approx(
+        44 + int(2.5 * 16000) * 2, abs=64
+    )
+
+
+def test_import_timit(tmp_path):
+    from stt_tpu.tools.import_timit import preprocess_data
+
+    for subset, spk, utt in (
+        ("TRAIN", "DR1/FCJF0", "SI1027"),
+        ("TRAIN", "DR1/FCJF0", "SA1"),  # excluded
+        ("TEST", "DR2/MABW0", "SX134"),
+    ):
+        d = tmp_path / "TIMIT" / subset / spk
+        make_sph(str(d / f"{utt}.WAV"), seconds=2.0)
+        (d / f"{utt}.TXT").write_text(f"0 32000 She said: Hello, world!\n")
+    csvs = preprocess_data(str(tmp_path))
+    train, test = read_csv(csvs[0]), read_csv(csvs[1])
+    assert len(train) == 1 and len(test) == 1  # SA excluded
+    assert train[0]["transcript"] == "she said hello world"
+    assert os.path.isfile(train[0]["wav_filename"])
+
+
+def test_import_voxforge(tmp_path):
+    from stt_tpu.tools.import_voxforge import preprocess_data
+
+    for i in range(4):
+        session = tmp_path / f"spk{i}-2024"
+        (session / "etc").mkdir(parents=True)
+        (session / "etc" / "PROMPTS").write_text(
+            f"mfc/u{i} HELLO WORLD NUMBER\n"
+        )
+        make_wav(str(session / "wav" / f"u{i}.wav"), seconds=2.0)
+    csvs = preprocess_data(str(tmp_path), number_of_test=1, number_of_dev=1)
+    train, dev, test = (read_csv(c) for c in csvs)
+    assert (len(train), len(dev), len(test)) == (2, 1, 1)
+    assert train[0]["transcript"] == "hello world number"
+
+
+def test_import_vctk(tmp_path):
+    from stt_tpu.tools.import_vctk import preprocess_data
+
+    corpus = tmp_path / "VCTK-Corpus"
+    for i in range(4):
+        utt = f"p225_{i:03d}"
+        wav48 = corpus / "wav48" / "p225" / f"{utt}.wav"
+        os.makedirs(wav48.parent, exist_ok=True)
+        n = 48000 * 2
+        silence = np.zeros(12000, np.float32)
+        tone = (0.2 * np.sin(np.arange(n) * 0.02)).astype(np.float32)
+        write_wav(str(wav48), np.concatenate([silence, tone, silence]), 48000)
+        txt = corpus / "txt" / "p225" / f"{utt}.txt"
+        os.makedirs(txt.parent, exist_ok=True)
+        txt.write_text("Please call Stella.")
+    csvs = preprocess_data(str(tmp_path))
+    rows = [r for c in csvs for r in read_csv(c)]
+    assert len(rows) == 4
+    assert rows[0]["transcript"] == "please call stella"
+    # trimmed + resampled to ~2 s of 16 kHz
+    assert int(rows[0]["wav_filesize"]) == pytest.approx(
+        44 + 32000 * 2, rel=0.15
+    )
+
+
+def test_import_tuda(tmp_path):
+    from stt_tpu.tools.import_tuda import write_csvs
+
+    extracted = tmp_path / "german-speechdata-package-v2"
+    for subset in ("train", "dev", "test"):
+        d = extracted / subset
+        d.mkdir(parents=True)
+        (d / "rec1.xml").write_text(
+            "<recording><cleaned_sentence>Schöne Grüße aus Köln"
+            "</cleaned_sentence></recording>",
+            encoding="utf-8",
+        )
+        make_wav(str(d / "rec1_Kinect-Beam.wav"), seconds=3.0)
+        make_wav(str(d / "rec1_Realtek.wav"), seconds=3.0)
+    csvs = write_csvs(str(extracted), str(tmp_path))
+    train = read_csv(csvs[0])
+    assert len(train) == 2  # both mics kept
+    assert train[0]["transcript"] == "schöne grüße aus köln"
+
+
+def test_import_slr57(tmp_path):
+    from stt_tpu.tools.import_slr57 import preprocess_data
+    from stt_tpu.tools.importers import validate_label_eng
+
+    corpus = tmp_path / "African_Accented_French"
+    tdir = corpus / "transcripts" / "test" / "ca16"
+    tdir.mkdir(parents=True)
+    lines = []
+    for i in range(5):
+        name = f"caf_{i:04d}"
+        make_wav(str(corpus / "speech" / "test" / f"{name}.wav"), seconds=3.0)
+        lines.append(f"{name} bonjour le monde encore\n")
+    (tdir / "prompts.txt").write_text("".join(lines))
+    csvs = preprocess_data(str(tmp_path), validate_label_eng)
+    rows = [r for c in csvs for r in read_csv(c)]
+    assert len(rows) == 5
+    assert rows[0]["transcript"] == "bonjour le monde encore"
+
+
+def test_import_m_ailabs(tmp_path):
+    from stt_tpu.tools.import_m_ailabs import preprocess_data
+    from stt_tpu.tools.importers import validate_label_eng
+
+    book = tmp_path / "by_book" / "female" / "spk" / "book1"
+    (book / "wavs").mkdir(parents=True)
+    lines = []
+    for i in range(10):
+        name = f"b1_{i:03d}"
+        make_wav(str(book / "wavs" / f"{name}.wav"), seconds=3.0)
+        lines.append(f"{name}|Raw text.|clean text variant number {chr(97 + i)}\n")
+    (book / "metadata.csv").write_text("".join(lines))
+    csvs = preprocess_data(str(tmp_path), validate_label_eng)
+    train, dev, test = (read_csv(c) for c in csvs)
+    assert (len(train), len(dev), len(test)) == (8, 1, 1)
+    assert train[0]["transcript"].startswith("clean text variant number")
+
+
+def test_import_cv_v1(tmp_path, capsys):
+    from stt_tpu.tools.import_cv import preprocess_data
+
+    extracted = tmp_path / "cv_corpus_v1"
+    clips = extracted / "cv-valid-dev"
+    clips.mkdir(parents=True)
+    rows = ["filename,text,up_votes,down_votes,age,gender,accent,duration"]
+    for i in range(3):
+        stem = f"sample-{i:06d}"
+        (clips / f"{stem}.mp3").write_bytes(b"\xff\xfbfake")
+        if i < 2:  # one clip stays unconverted
+            make_wav(str(clips / f"{stem}.wav"), seconds=3.0)
+        rows.append(f"cv-valid-dev/{stem}.mp3,hello common voice,1,0,,,,")
+    (extracted / "cv-valid-dev.csv").write_text("\n".join(rows))
+    [csv_path] = preprocess_data(str(tmp_path))
+    out = read_csv(csv_path)
+    assert len(out) == 2
+    assert "no mp3 codec" in capsys.readouterr().out
+
+
+def test_import_ts(tmp_path):
+    from stt_tpu.tools.import_ts import preprocess_data
+
+    for i in range(5):
+        make_wav(str(tmp_path / "audio" / f"s{i}.wav"), seconds=3.0)
+    lines = ["path,text"]
+    for i in range(5):
+        lines.append(f'audio/s{i}.wav,"Voilà — l’énoncé numéro {i}!"')
+    (tmp_path / "data.csv").write_text("\n".join(lines), encoding="utf-8")
+    csvs = preprocess_data(str(tmp_path))
+    rows = [r for c in csvs for r in read_csv(c)]
+    assert len(rows) == 5
+    assert rows[0]["transcript"].startswith("voilà l'énoncé numéro")
+
+
+def test_import_fisher(tmp_path):
+    from stt_tpu.tools.import_fisher import preprocess_data
+
+    make_sph(str(tmp_path / "fisher_audio" / "fe_03_00001.sph"),
+             seconds=8.0, rate=8000, channels=2, coding="ulaw")
+    trans = tmp_path / "trans"
+    trans.mkdir()
+    (trans / "fe_03_00001.txt").write_text(
+        "# header\n"
+        "0.50 2.50 A: hello how are you\n"
+        "3.00 5.00 B: i am [laughter] fine thanks\n"
+    )
+    csvs = preprocess_data(str(tmp_path), n_dev=1, n_test=1)
+    rows = [r for c in csvs for r in read_csv(c)]
+    assert len(rows) == 2
+    texts = {r["transcript"] for r in rows}
+    assert "hello how are you" in texts
+    assert "i am fine thanks" in texts  # [laughter] dropped
+    # 2 s slice at 16 kHz after upsampling from 8 kHz
+    assert int(rows[0]["wav_filesize"]) == pytest.approx(
+        44 + 32000 * 2, rel=0.05
+    )
+
+
+def test_import_swb(tmp_path):
+    from stt_tpu.tools.import_swb import preprocess_data
+
+    make_sph(str(tmp_path / "swb1_d1" / "data" / "sw02001.sph"),
+             seconds=8.0, rate=8000, channels=2, coding="ulaw")
+    tdir = tmp_path / "swb_ms98_transcriptions" / "20" / "2001"
+    tdir.mkdir(parents=True)
+    (tdir / "sw2001A-ms98-a-trans.text").write_text(
+        "sw2001A-ms98-a-0001 0.50 2.50 yeah [silence] i think so\n"
+        "sw2001A-ms98-a-0002 3.00 4.00 [noise]\n"
+    )
+    (tdir / "sw2001B-ms98-a-trans.text").write_text(
+        "sw2001B-ms98-a-0001 4.50 6.50 right exactly\n"
+    )
+    csvs = preprocess_data(str(tmp_path), n_dev=1, n_test=1)
+    rows = [r for c in csvs for r in read_csv(c)]
+    texts = {r["transcript"] for r in rows}
+    assert texts == {"yeah i think so", "right exactly"}
+
+
 def test_import_mls_flac_and_opus(tmp_path, capsys):
     from stt_tpu.tools.import_mls import import_language
 
