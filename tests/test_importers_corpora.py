@@ -363,6 +363,146 @@ def test_import_swb(tmp_path):
     assert texts == {"yeah i think so", "right exactly"}
 
 
+def test_import_atthack(tmp_path):
+    from stt_tpu.tools.import_atthack import preprocess_data
+
+    (tmp_path / "txt").mkdir()
+    for i in range(10):
+        name = f"F01_a1_s{i:03d}"
+        make_wav(str(tmp_path / "wav" / f"{name}.wav"), seconds=3.0)
+        (tmp_path / "txt" / f"{name}.txt").write_text("je vous remercie")
+    csvs = preprocess_data(str(tmp_path), lambda s: s.strip().lower() or None)
+    train, dev, test = (read_csv(c) for c in csvs)
+    assert (len(train), len(dev), len(test)) == (8, 1, 1)
+    assert train[0]["transcript"] == "je vous remercie"
+
+
+def test_import_lingua_libre(tmp_path, capsys):
+    from stt_tpu.tools.import_lingua_libre import preprocess_data
+
+    spk = tmp_path / "speaker1"
+    spk.mkdir()
+    for stem in ("bonjour tout le monde", "Q12345", "encore une phrase"):
+        (spk / f"{stem}.ogg").write_bytes(b"OggS fake")
+        if stem != "Q12345":
+            make_wav(str(spk / f"{stem}.wav"), seconds=2.0)
+    csvs = preprocess_data(
+        str(tmp_path), lambda s: s.strip().lower() or None,
+        bogus_regex=r"^Q[0-9]+",
+    )
+    rows = [r for c in csvs for r in read_csv(c)]
+    assert {r["transcript"] for r in rows} == {
+        "bonjour tout le monde", "encore une phrase",
+    }
+
+
+def test_import_cv_personal(tmp_path, capsys):
+    from stt_tpu.tools.import_cv_personal import convert_set
+    from stt_tpu.tools.importers import validate_label_eng
+
+    audio = tmp_path / "clips"
+    audio.mkdir()
+    lines = ["original_sentence_id\tsentence\tlocale"]
+    for i in range(3):
+        sid = f"sent{i}"
+        (audio / f"{sid}.mp3").write_bytes(b"\xff\xfbfake")
+        if i < 2:
+            make_wav(str(audio / f"{sid}.wav"), seconds=3.0)
+        lines.append(f"{sid}\thello there friend\ten")
+    tsv = tmp_path / "sentences.tsv"
+    tsv.write_text("\n".join(lines))
+    out = convert_set(str(tsv), str(audio), validate_label_eng)
+    rows = read_csv(out)
+    assert len(rows) == 2
+
+    out2 = convert_set(str(tsv), str(audio), validate_label_eng,
+                       space_after_every_character=True)
+    rows2 = read_csv(out2)
+    assert rows2[0]["transcript"].startswith("h e l l o")
+
+
+def test_import_gram_vaani(tmp_path):
+    from stt_tpu.tools.import_gram_vaani import preprocess_data
+
+    lines = ['"id","audio_url","labelled","transcript","labels","file","len","user"']
+    for i in range(5):
+        name = f"clip{i}.mp3"
+        make_wav(str(tmp_path / f"clip{i}.wav"), seconds=3.0)
+        lines.append(
+            f'"{i}","http://x/{name}","y","नमस्ते दुनिया","l","{name}","3","u"'
+        )
+    catalog = tmp_path / "catalog.csv"
+    catalog.write_text("\n".join(lines), encoding="utf-8")
+    csvs = preprocess_data(
+        str(catalog), str(tmp_path), lambda s: s.strip() or None
+    )
+    rows = [r for c in csvs for r in read_csv(c)]
+    assert len(rows) == 5
+    assert rows[0]["transcript"] == "नमस्ते दुनिया"
+
+
+def test_import_swc(tmp_path):
+    from stt_tpu.tools.import_swc import prepare_language
+
+    art = tmp_path / "article1"
+    art.mkdir()
+    make_wav(str(art / "audio.wav"), seconds=12.0)
+    (art / "aligned.swc").write_text(
+        """<article>
+        <meta><prop key="reader.name" value="alice"/></meta>
+        <d><s>
+          <t text="hello"><n start="500" end="1200" pronunciation="hello"/></t>
+          <t text="spoken"><n start="1300" end="2100" pronunciation="spoken"/></t>
+          <t text="wikipedia"><n start="2200" end="3400" pronunciation="wikipedia"/></t>
+        </s>
+        <s>
+          <t text="another"><n start="4000" end="4900" pronunciation="another"/></t>
+          <t text="sentence"><n start="5000" end="6200" pronunciation="sentence"/></t>
+        </s></d>
+        </article>"""
+    )
+    csvs = prepare_language(str(tmp_path), "english")
+    rows = [r for c in csvs for r in read_csv(c)]
+    assert {r["transcript"] for r in rows} == {
+        "hello spoken wikipedia", "another sentence",
+    }
+
+
+def test_ccpmf_french_numbers():
+    from stt_tpu.tools.import_ccpmf import french_number_words, maybe_normalize
+
+    assert french_number_words(0) == "zéro"
+    assert french_number_words(21) == "vingt et un"
+    assert french_number_words(71) == "soixante et onze"
+    assert french_number_words(80) == "quatre-vingts"
+    assert french_number_words(95) == "quatre-vingt-quinze"
+    assert french_number_words(200) == "deux cents"
+    assert french_number_words(1959) == "mille neuf cent cinquante-neuf"
+    assert french_number_words(50000) == "cinquante mille"
+    assert maybe_normalize("le budget de 50 000 euros") == \
+        "le budget de cinquante mille euros"
+    assert "virgule" in maybe_normalize("croissance de 1,5")
+
+
+def test_import_ccpmf(tmp_path):
+    from stt_tpu.tools.import_ccpmf import preprocess_data
+
+    make_wav(str(tmp_path / "session1.wav"), seconds=20.0)
+    (tmp_path / "session1.xml").write_text(
+        '<data>'
+        '<row timestamp="0.2" timedur="2.0">bonjour à tous </row>'
+        '<row timestamp="2.4" timedur="2.0">et bienvenue</row>'
+        '<row timestamp="14.0" timedur="3.0">le budget est de 200 euros</row>'
+        '</data>'
+    )
+    csvs = preprocess_data(str(tmp_path))
+    rows = [r for c in csvs for r in read_csv(c)]
+    texts = {r["transcript"] for r in rows}
+    # contiguous rows merged; distant row separate; digits spelled out
+    assert "bonjour à tous et bienvenue" in texts
+    assert "le budget est de deux cents euros" in texts
+
+
 def test_import_mls_flac_and_opus(tmp_path, capsys):
     from stt_tpu.tools.import_mls import import_language
 
