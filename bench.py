@@ -42,7 +42,10 @@ def main():
     config = ModelConfig(compute_dtype="bfloat16", fused_lstm=True)
     params = init_params(jax.random.PRNGKey(0), config)
 
-    batch, seconds = 128, 10.0
+    # batch 512 amortizes the per-dispatch overhead of the tunneled chip
+    # and saturates the MXU on the recurrence matmul; the fused-LSTM
+    # VMEM guard holds up to 768 at this geometry
+    batch, seconds = 512, 10.0
     n_samples = int(seconds * feature_config.sample_rate)
     rng = np.random.RandomState(0)
     audio = jnp.asarray(rng.randn(batch, n_samples) * 0.1, jnp.float32)

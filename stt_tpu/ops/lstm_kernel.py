@@ -30,7 +30,7 @@ def fused_lstm_supported(batch: int, n_cell: int, w_dtype) -> bool:
     itemsize = jnp.dtype(w_dtype).itemsize
     vmem_needed = (
         n_cell * 4 * n_cell * itemsize  # W_h
-        + 2 * batch * 4 * n_cell * 4  # x_proj double buffer (f32)
+        + 2 * batch * 4 * n_cell * itemsize  # x_proj double buffer
         + 2 * batch * n_cell * 4  # out double buffer
         + 4 * batch * n_cell * 4  # c/h carry + outputs
     )
@@ -65,7 +65,7 @@ def _kernel(xp_hbm, w_h_ref, c0_ref, h0_ref, seq_ref, out_hbm, c_ref, h_ref,
         x_dma(slot, t).wait()
         c = c_ref[:]
         h = h_ref[:]
-        z = xbuf[slot] + jnp.dot(
+        z = xbuf[slot].astype(jnp.float32) + jnp.dot(
             h.astype(w_h_ref.dtype), w_h_ref[:],
             preferred_element_type=jnp.float32,
         )
@@ -124,7 +124,7 @@ def _lstm_fused_impl(x_proj, w_h, c0, h0, seq_len, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, B, four_h), jnp.float32),
+            pltpu.VMEM((2, B, four_h), x_proj.dtype),
             pltpu.VMEM((2, B, n_cell), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -151,13 +151,22 @@ def lstm_fused(
     dtype = jnp.dtype(compute_dtype)
     w_x = params["kernel"][:n_in].astype(dtype)
     w_h = params["kernel"][n_in:].astype(dtype)
+    # x_proj is the program's largest temp ([T, B, 4H]); storing it in the
+    # compute dtype halves both its HBM footprint and the per-step DMA
+    # stream into the kernel. Accumulation stays f32 (bias added in f32
+    # before the down-cast; gates are computed in f32 inside the kernel).
+    store_dtype = jnp.float32 if dtype == jnp.float32 else dtype
     x_proj = (
-        jnp.matmul(
-            x.reshape(T * B, n_in).astype(dtype), w_x,
-            preferred_element_type=jnp.float32,
+        (
+            jnp.matmul(
+                x.reshape(T * B, n_in).astype(dtype), w_x,
+                preferred_element_type=jnp.float32,
+            )
+            + params["bias"]
         )
-        + params["bias"]
-    ).reshape(T, B, 4 * n_cell)
+        .astype(store_dtype)
+        .reshape(T, B, 4 * n_cell)
+    )
     if initial_state is None:
         c0 = jnp.zeros((B, n_cell), jnp.float32)
         h0 = jnp.zeros((B, n_cell), jnp.float32)
