@@ -54,9 +54,10 @@ def read_wav(path: str, desired_rate: int | None = None) -> Tuple[np.ndarray, in
 
 
 def read_audio(path: str, desired_rate: int | None = None) -> Tuple[np.ndarray, int]:
-    """Read an audio file by extension: .wav (PCM) or .flac (pure-Python
-    decoder, bit-exact). OGG/Opus/Vorbis/MP3 need codec libraries absent
-    from this build and raise a clear error."""
+    """Read an audio file by extension: .wav (PCM), .flac (pure-Python
+    decoder, bit-exact), .ogg Vorbis (pure-Python decoder), or .sph
+    (NIST SPHERE: pcm/ulaw/alaw). Opus and MP3 need codec libraries
+    absent from this build and raise a clear error."""
     ext = path.lower().rsplit(".", 1)[-1]
     if ext == "wav":
         return read_wav(path, desired_rate)
@@ -64,14 +65,33 @@ def read_audio(path: str, desired_rate: int | None = None) -> Tuple[np.ndarray, 
         from stt_tpu.data.flac import read_flac
 
         audio, rate = read_flac(path)
-        if desired_rate is not None and rate != desired_rate:
-            audio = resample(audio, rate, desired_rate)
-            rate = desired_rate
-        return audio, rate
-    raise ValueError(
-        f"unsupported audio format '.{ext}' ({path}): this build decodes "
-        "wav and flac; ogg/opus/vorbis/mp3 require codec libraries"
-    )
+    elif ext in ("ogg", "oga"):
+        from stt_tpu.data.vorbis import read_vorbis
+
+        audio, rate = read_vorbis(path)
+        if audio.ndim == 2:
+            audio = audio.mean(axis=1)
+    elif ext == "sph":
+        from stt_tpu.data.sph import read_sph
+
+        audio, rate = read_sph(path)
+        if audio.ndim == 2:
+            audio = audio.mean(axis=1)
+    elif ext == "opus":
+        raise ValueError(
+            f"{path}: Ogg Opus needs an Opus codec this build lacks "
+            "(CELT/SILK); convert to wav/flac/ogg-vorbis first"
+        )
+    else:
+        raise ValueError(
+            f"unsupported audio format '.{ext}' ({path}): this build "
+            "decodes wav, flac, ogg (Vorbis), and sph; opus/mp3 require "
+            "codec libraries"
+        )
+    if desired_rate is not None and rate != desired_rate:
+        audio = resample(audio, rate, desired_rate)
+        rate = desired_rate
+    return audio, rate
 
 
 def write_wav(path: str, audio: np.ndarray, rate: int = DEFAULT_RATE) -> None:

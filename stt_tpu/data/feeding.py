@@ -65,7 +65,23 @@ def featurize_sample(
     clock: float = 0.0,
 ) -> np.ndarray:
     """One utterance -> [T, n_mfcc] features (with augmentation when
-    training)."""
+    training). Audio at a different rate than the feature frontend's is
+    resampled first (the reference normalizes rate at import/augment
+    time; sources like the vorbis smoke CSV arrive at 8 kHz)."""
+    if sample.rate != feature_config.sample_rate:
+        from stt_tpu.data.audio import resample
+
+        sample = Sample(
+            sample_id=sample.sample_id,
+            transcript=sample.transcript,
+            duration_hint=sample.duration_hint,
+            _audio=resample(
+                np.asarray(sample.audio, np.float32),
+                sample.rate,
+                feature_config.sample_rate,
+            ),
+            _rate=feature_config.sample_rate,
+        )
     if train_phase and augmentations:
         sample = apply_sample_augmentations(
             sample, augmentations, clock=clock

@@ -45,6 +45,38 @@ def _iter_pages(data: bytes):
         pos = body_start + body_len
 
 
+def ogg_packets(data: bytes):
+    """Reassemble the logical packets of the FIRST stream in an Ogg
+    container (lacing values; 255 means continued, <255 ends a packet;
+    packets may span pages via the continuation flag). Yields
+    (packet_bytes, granule_of_its_page)."""
+    target_serial = None
+    partial = b""
+    pos = 0
+    n = len(data)
+    while pos + 27 <= n:
+        idx = data.find(b"OggS", pos)
+        if idx < 0 or idx + 27 > n:
+            break
+        granule, serial = struct.unpack_from("<qI", data, idx + 6)
+        nsegs = data[idx + 26]
+        seg_table = data[idx + 27 : idx + 27 + nsegs]
+        body = idx + 27 + nsegs
+        if target_serial is None:
+            target_serial = serial
+        if serial == target_serial:
+            off = body
+            for seg in seg_table:
+                partial += data[off : off + seg]
+                off += seg
+                if seg < 255:
+                    yield partial, granule
+                    partial = b""
+        pos = body + sum(seg_table)
+    if partial:
+        yield partial, -1
+
+
 def probe_ogg(data: bytes) -> OggInfo:
     codec = "unknown"
     channels = 0
