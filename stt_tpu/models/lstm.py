@@ -84,15 +84,22 @@ def lstm_scan(
     dtype = compute_dtype or x.dtype
     w_x = params["kernel"][:n_in].astype(dtype)
     w_h = params["kernel"][n_in:].astype(dtype)
+    # keep the [T, B, 4H] projection in the compute dtype (largest temp;
+    # bias is added in f32 first, gates stay f32 inside the step)
+    store_dtype = jnp.float32 if dtype == jnp.float32 else dtype
     x_proj = (
-        jnp.matmul(
-            x.reshape(T * B, n_in).astype(dtype),
-            w_x,
-            precision=precision,
-            preferred_element_type=jnp.float32,
+        (
+            jnp.matmul(
+                x.reshape(T * B, n_in).astype(dtype),
+                w_x,
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+            + params["bias"]
         )
-        + params["bias"]
-    ).reshape(T, B, 4 * n_cell)
+        .astype(store_dtype)
+        .reshape(T, B, 4 * n_cell)
+    )
 
     def step(carry, inp):
         c, h = carry
@@ -116,5 +123,9 @@ def lstm_scan(
         return (c_new, h_new), out
 
     ts = jnp.arange(T, dtype=jnp.int32)
-    (c, h), outputs = jax.lax.scan(step, (c0, h0), (x_proj, ts))
+    # remat the step: backward recomputes the per-step gates instead of
+    # saving four [T, B, 4H] activation tensors — the difference between
+    # batch 128 and batch 256+ fitting in HBM at the 2048 geometry, for
+    # ~1.3x recurrence FLOPs on the backward pass
+    (c, h), outputs = jax.lax.scan(jax.checkpoint(step), (c0, h0), (x_proj, ts))
     return outputs, (c, h)
