@@ -80,6 +80,14 @@ class SttConfig:
     load_evaluate: str = "auto"  # auto | best | last
     drop_source_layers: int = 0
 
+    # -- observability -------------------------------------------------------
+    # TensorBoard scalars (step summaries, train.py:190-193 parity) and
+    # jax profiler traces (the reference has no profiler; SURVEY §5 asks
+    # for one) — both off unless a directory is given
+    summary_dir: str = ""
+    profile_dir: str = ""
+    profile_steps: int = 10  # trace this many steps of epoch 0
+
     # -- early stop / plateau ---------------------------------------------
     early_stop: bool = False
     es_epochs: int = 25

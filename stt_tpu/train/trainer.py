@@ -61,6 +61,39 @@ def _get_learning_rate(state: TrainState) -> float:
     return float(state.opt_state.hyperparams["learning_rate"])
 
 
+def _make_summary_writer(summary_dir: str):
+    """Scalar logger: TensorBoard event files when TF is importable
+    (reference step_summaries parity, train.py:190-193), JSONL otherwise.
+    Returns callable(step, {tag: value}) or None."""
+    if not summary_dir:
+        return None
+    import os
+
+    os.makedirs(summary_dir, exist_ok=True)
+    try:
+        import tensorflow as tf  # CPU TF is in the build
+
+        writer = tf.summary.create_file_writer(summary_dir)
+
+        def write(step: int, scalars: dict) -> None:
+            with writer.as_default(step=step):
+                for tag, value in scalars.items():
+                    tf.summary.scalar(tag, value)
+            writer.flush()
+
+        return write
+    except ImportError:
+        import json
+
+        path = os.path.join(summary_dir, "scalars.jsonl")
+
+        def write(step: int, scalars: dict) -> None:
+            with open(path, "a") as f:
+                f.write(json.dumps({"step": step, **scalars}) + "\n")
+
+        return write
+
+
 def early_training_checks(config: SttConfig) -> None:
     """Pre-flight validation (train.py:238-246): scorer loads, alphabet
     resolves, datasets exist."""
@@ -180,13 +213,29 @@ def train(config: SttConfig) -> TrainState:
     epochs_without_improvement = 0
     last_save = time.time()
 
+    feature_config = config.feature_config
+    frame_seconds = feature_config.step_samples / feature_config.sample_rate
+    summary_writer = _make_summary_writer(config.summary_dir)
+    profiler_active = False
+
     for epoch in range(config.epochs):
         epoch_losses: List[float] = []
+        epoch_audio_s = 0.0
         t0 = time.time()
-        for batch, ids in batches(epoch):
+        for step_in_epoch, (batch, ids) in enumerate(batches(epoch)):
+            if config.profile_dir and epoch == 0 and step_in_epoch == 0:
+                jax.profiler.start_trace(config.profile_dir)
+                profiler_active = True
             state, metrics = train_step(state, batch, step_rng)
             loss = float(metrics.loss)
             epoch_losses.append(loss)
+            epoch_audio_s += float(np.sum(np.asarray(batch.feature_lengths))) * frame_seconds
+            if profiler_active and step_in_epoch + 1 >= config.profile_steps:
+                jax.profiler.stop_trace()
+                profiler_active = False
+                log_info(f"Wrote profiler trace to {config.profile_dir}")
+            if summary_writer is not None:
+                summary_writer(int(state.step), {"train/step_loss": loss})
             bad = np.asarray(metrics.non_finite)
             if bad.any():
                 bad_ids = [i for i, b in zip(ids, bad[: len(ids)]) if b]
@@ -200,17 +249,34 @@ def train(config: SttConfig) -> TrainState:
             ):
                 manager.save(state, "last")
                 last_save = time.time()
+        if profiler_active:  # fewer steps than profile_steps in the epoch
+            jax.profiler.stop_trace()
+            profiler_active = False
         mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
+        epoch_wall = time.time() - t0
+        throughput = epoch_audio_s / max(epoch_wall, 1e-9)
         msg = (
             f"Epoch {epoch} | train loss {mean_loss:.4f} | "
-            f"{time.time() - t0:.1f}s | lr {_get_learning_rate(state):.6f}"
+            f"{epoch_wall:.1f}s | {throughput:.1f} audio-s/s | "
+            f"lr {_get_learning_rate(state):.6f}"
         )
+        if summary_writer is not None:
+            summary_writer(
+                int(state.step),
+                {
+                    "train/epoch_loss": mean_loss,
+                    "train/audio_seconds_per_second": throughput,
+                    "train/learning_rate": float(_get_learning_rate(state)),
+                },
+            )
 
         dev_loss = None
         if config.dev_files:
             dev_loss = run_dev_epoch()
             dev_losses.append(dev_loss)
             msg += f" | dev loss {dev_loss:.4f}"
+            if summary_writer is not None:
+                summary_writer(int(state.step), {"dev/loss": dev_loss})
         log_info(msg)
 
         if dev_loss is not None:
