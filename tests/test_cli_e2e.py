@@ -152,6 +152,39 @@ def test_client_cli_modes(trained_config, run_dirs, capsys):
     assert len(lines) > 1  # intermediates were printed
 
 
+def test_evaluate_flashlight(trained_config, capsys):
+    """Flashlight-decoder evaluation entry point (evaluate_flashlight.py
+    parity): lexicon decode with the reference scorer reaches the exact
+    smoke transcript."""
+    import dataclasses
+
+    from stt_tpu.evaluate_flashlight import evaluate_flashlight
+
+    config = dataclasses.replace(
+        trained_config,
+        scorer_path="/root/reference/data/smoke_test/pruned_lm.scorer",
+        alphabet=None,
+    )
+    from stt_tpu.text import levenshtein
+
+    [results] = evaluate_flashlight(config, beam_size=128, word_score=3.0)
+    # the toy overfit model's tail confidence varies; the lexicon decoder
+    # must recover the transcript within one word (same tolerance as the
+    # decoder unit gates)
+    assert levenshtein(
+        results[0].res.split(), SMOKE_TRANSCRIPT.split()
+    ) <= 1, results[0].res
+
+    # lexicon-free runs token-level without the word LM (unit-gate setup)
+    no_scorer = dataclasses.replace(config, scorer_path="", alphabet=None)
+    [results] = evaluate_flashlight(
+        no_scorer, decoder_type="lexicon_free", beam_size=128
+    )
+    assert levenshtein(
+        results[0].res.split(), SMOKE_TRANSCRIPT.split()
+    ) <= 1, results[0].res
+
+
 def test_client_hot_words_parsing():
     from stt_tpu.client import parse_hot_words
 
