@@ -123,9 +123,20 @@ def lstm_scan(
         return (c_new, h_new), out
 
     ts = jnp.arange(T, dtype=jnp.int32)
-    # remat the step: backward recomputes the per-step gates instead of
-    # saving four [T, B, 4H] activation tensors — the difference between
-    # batch 128 and batch 256+ fitting in HBM at the 2048 geometry, for
-    # ~1.3x recurrence FLOPs on the backward pass
-    (c, h), outputs = jax.lax.scan(jax.checkpoint(step), (c0, h0), (x_proj, ts))
+    # Short sequences (streaming's 16-frame chunks) unroll fully: the
+    # program then contains no XLA while-loop, which keeps dispatch on
+    # the fast path (a single while op degrades every later dispatch on
+    # the tunneled-chip runtime). Long sequences scan with a rematted
+    # step: backward recomputes the per-step gates instead of saving four
+    # [T, B, 4H] activation tensors — the difference between batch 128
+    # and batch 256+ fitting in HBM at the 2048 geometry, for ~1.3x
+    # recurrence FLOPs on the backward pass.
+    if T <= 32:
+        (c, h), outputs = jax.lax.scan(
+            step, (c0, h0), (x_proj, ts), unroll=True
+        )
+    else:
+        (c, h), outputs = jax.lax.scan(
+            jax.checkpoint(step), (c0, h0), (x_proj, ts)
+        )
     return outputs, (c, h)

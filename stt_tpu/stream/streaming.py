@@ -63,7 +63,20 @@ class StreamingRuntime:
         def mfcc_chunk(audio):
             return audio_to_mfcc(audio, fc)
 
-        def infer_chunk(params, windowed, seq_len, c, h):
+        def window_infer(params, stacked, seq_len, c, h):
+            """Context-windowing + acoustic step fused on device: MFCC
+            frames stay device-resident between chunks, so the only
+            per-chunk device->host transfer is the probs (the
+            "donated-buffer chunk step" design — host round-trips per
+            chunk dominate streaming latency on remote-attached chips).
+            stacked: [n_context + N_STEPS + 2*n_context, n_input]."""
+            width = model_config.window_width
+            windowed = jnp.stack(
+                [
+                    stacked[i : i + width].reshape(-1)
+                    for i in range(N_STEPS)
+                ]
+            )
             logits, (c2, h2) = apply_model(
                 params,
                 windowed[None],
@@ -76,7 +89,7 @@ class StreamingRuntime:
             return probs, c2[0], h2[0]
 
         self._mfcc_chunk = jax.jit(mfcc_chunk)
-        self._infer_chunk = jax.jit(infer_chunk)
+        self._window_infer = jax.jit(window_infer)
 
     def zero_state(self):
         n = self.model_config.n_cell_dim
@@ -98,8 +111,9 @@ class StreamState:
         self.runtime = runtime
         mc = runtime.model_config
         self._audio: np.ndarray = np.zeros((0,), np.float32)
-        self._pending_frames: List[np.ndarray] = []
-        self._left_ctx = np.zeros((mc.n_context, mc.n_input), np.float32)
+        # MFCC frames stay on device until their probs are computed
+        self._pending = jnp.zeros((0, mc.n_input), jnp.float32)
+        self._left_ctx = jnp.zeros((mc.n_context, mc.n_input), jnp.float32)
         self._c, self._h = runtime.zero_state()
         self._probs_history: List[np.ndarray] = []
         from stt_tpu.decode.beam import make_decoder_state
@@ -129,40 +143,27 @@ class StreamState:
         fc = rt.feature_config
         while len(self._audio) >= rt.chunk_samples:
             chunk = self._audio[: rt.chunk_samples]
-            frames = np.asarray(rt._mfcc_chunk(jnp.asarray(chunk)))
-            self._pending_frames.extend(frames)
+            frames = rt._mfcc_chunk(jnp.asarray(chunk))  # stays on device
+            self._pending = jnp.concatenate([self._pending, frames])
             self._audio = self._audio[N_STEPS * fc.step_samples :]
-
-    def _window(self, frames: np.ndarray) -> np.ndarray:
-        """[n_context + 16 + n_context, n_input] -> [16, window_input]."""
-        mc = self.runtime.model_config
-        width = mc.window_width
-        return np.stack(
-            [frames[i : i + width].reshape(-1) for i in range(N_STEPS)]
-        )
 
     def _emit_chunk(self, valid: int) -> None:
         """Run one inference step over the first `valid` pending frames
-        (zero-padded to N_STEPS); consume them."""
+        (zero-padded to N_STEPS); consume them. All feature plumbing is
+        device-side — the probs pull is the chunk's only transfer."""
         rt = self.runtime
         mc = rt.model_config
         n_ctx = mc.n_context
-        pending = (
-            np.asarray(self._pending_frames)
-            if self._pending_frames
-            else np.zeros((0, mc.n_input), np.float32)
-        )
-        block = pending[: N_STEPS + n_ctx]
-        pad = N_STEPS + n_ctx - len(block)
+        block = self._pending[: N_STEPS + n_ctx]
+        pad = N_STEPS + n_ctx - block.shape[0]
         if pad > 0:
-            block = np.concatenate(
-                [block, np.zeros((pad, mc.n_input), np.float32)]
+            block = jnp.concatenate(
+                [block, jnp.zeros((pad, mc.n_input), jnp.float32)]
             )
-        stacked = np.concatenate([self._left_ctx, block])
-        windowed = self._window(stacked)
-        probs, self._c, self._h = rt._infer_chunk(
+        stacked = jnp.concatenate([self._left_ctx, block])
+        probs, self._c, self._h = rt._window_infer(
             rt.params,
-            jnp.asarray(windowed),
+            stacked,
             jnp.asarray(valid, jnp.int32),
             self._c,
             self._h,
@@ -172,11 +173,11 @@ class StreamState:
         self.decoder.next(probs)
         # left context for the next chunk = last n_ctx frames before it
         self._left_ctx = stacked[valid : valid + n_ctx]
-        self._pending_frames = self._pending_frames[valid:]
+        self._pending = self._pending[valid:]
 
     def _process_frames(self, flush: bool) -> None:
         n_ctx = self.runtime.model_config.n_context
-        while len(self._pending_frames) >= N_STEPS + n_ctx:
+        while self._pending.shape[0] >= N_STEPS + n_ctx:
             self._emit_chunk(N_STEPS)
 
     # -- decoding ----------------------------------------------------------
@@ -204,22 +205,23 @@ class StreamState:
         n_full = max(0, (len(self._audio) - fc.window_samples) // fc.step_samples + 1)
         if n_full > 0:
             take = (n_full - 1) * fc.step_samples + fc.window_samples
-            frames = np.asarray(
-                audio_to_mfcc(jnp.asarray(self._audio[:take]), fc)
-            )
-            self._pending_frames.extend(frames)
+            frames = audio_to_mfcc(jnp.asarray(self._audio[:take]), fc)
+            self._pending = jnp.concatenate([self._pending, frames])
             self._audio = np.zeros((0,), np.float32)
         # zero-MFCC padding for the right context (stt.cc:242-247); the pad
         # frames are window context only, never emitted centers
-        real = len(self._pending_frames)
-        self._pending_frames.extend(
-            np.zeros((mc.n_context, mc.n_input), np.float32)
+        real = int(self._pending.shape[0])
+        self._pending = jnp.concatenate(
+            [
+                self._pending,
+                jnp.zeros((mc.n_context, mc.n_input), jnp.float32),
+            ]
         )
         while real > 0:
             valid = min(N_STEPS, real)
             self._emit_chunk(valid)
             real -= valid
-        self._pending_frames = []
+        self._pending = self._pending[:0]
 
     @property
     def probs_history(self) -> np.ndarray:
