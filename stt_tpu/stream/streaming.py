@@ -122,6 +122,9 @@ class StreamState:
             runtime.alphabet, beam_width, cutoff_prob, cutoff_top_n,
             scorer, hot_words,
         )
+        # one in-flight (device_probs, valid): its host copy overlaps the
+        # next chunk's compute + the beam step, hiding the transfer RTT
+        self._inflight = None
         self._finished = False
 
     # -- feeding -----------------------------------------------------------
@@ -168,12 +171,26 @@ class StreamState:
             self._c,
             self._h,
         )
-        probs = np.asarray(probs)[:valid]
-        self._probs_history.append(probs)
-        self.decoder.next(probs)
+        try:
+            probs.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._drain()  # previous chunk's transfer has had a chunk to finish
+        self._inflight = (probs, valid)
         # left context for the next chunk = last n_ctx frames before it
         self._left_ctx = stacked[valid : valid + n_ctx]
         self._pending = self._pending[valid:]
+
+    def _drain(self) -> None:
+        """Feed the in-flight probs to the beam decoder (called before any
+        decode and when the next chunk lands)."""
+        if self._inflight is None:
+            return
+        probs, valid = self._inflight
+        self._inflight = None
+        host = np.asarray(probs)[:valid]
+        self._probs_history.append(host)
+        self.decoder.next(host)
 
     def _process_frames(self, flush: bool) -> None:
         n_ctx = self.runtime.model_config.n_context
@@ -183,16 +200,19 @@ class StreamState:
     # -- decoding ----------------------------------------------------------
 
     def intermediate_decode(self, num_results: int = 1):
+        self._drain()
         return self.decoder.decode(num_results)
 
     def intermediate_decode_flush_buffers(self, num_results: int = 1):
         """Decode after flushing buffered audio through the model — the
         stream cannot be fed afterwards (STT_IntermediateDecodeWithBufferFlush)."""
         self._flush()
+        self._drain()
         return self.decoder.decode(num_results)
 
     def finish(self, num_results: int = 1):
         self._flush()
+        self._drain()
         self._finished = True
         return self.decoder.decode(num_results)
 
