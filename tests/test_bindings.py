@@ -1,0 +1,166 @@
+"""Language-binding parity gates (bindings/ vs the C API).
+
+The reference ships six bindings over one C header (coqui-stt.h); ours ship
+over stt_tpu/native/stt_tpu.h. This image has no node/JDK/dotnet/swift/emcc
+toolchains, so the runnable gates are:
+
+  * symbol parity — every STT_* function exported by the header is bound by
+    every binding (so no binding silently lags the C surface as it grows);
+  * error-enum parity — the .NET enum mirrors the header's codes by value;
+  * struct-layout parity — marshaling declarations match the header fields;
+  * compile smoke — run only when the relevant toolchain is installed.
+"""
+
+import re
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+HEADER = REPO / "stt_tpu" / "native" / "stt_tpu.h"
+BINDINGS = REPO / "bindings"
+
+# Each binding's file that must reference the full C surface.
+BINDING_SOURCES = {
+    "javascript": BINDINGS / "javascript" / "addon.c",
+    "java": BINDINGS / "java" / "jni" / "stt_jni.c",
+    "dotnet": BINDINGS / "dotnet" / "STTClient" / "STT.cs",
+    "swift": BINDINGS / "swift" / "STT.swift",
+    "wasm": BINDINGS / "wasm" / "bindings.cc",
+}
+
+
+def header_functions():
+    text = HEADER.read_text()
+    names = re.findall(r"\b(STT_[A-Za-z0-9_]+)\s*\(", text)
+    # drop macro/enum artifacts, keep unique order
+    seen = []
+    for n in names:
+        if n not in seen:
+            seen.append(n)
+    assert len(seen) >= 20, seen
+    return seen
+
+
+def header_error_codes():
+    text = HEADER.read_text()
+    return dict(
+        (name, int(value, 16))
+        for name, value in re.findall(
+            r"(STT_ERR_[A-Z_0-9]+)\s*=\s*(0x[0-9a-fA-F]+)", text
+        )
+    )
+
+
+@pytest.mark.parametrize("name", sorted(BINDING_SOURCES))
+def test_binding_covers_full_c_surface(name):
+    source = BINDING_SOURCES[name].read_text()
+    missing = [fn for fn in header_functions() if fn not in source]
+    assert not missing, f"{name} binding misses C API functions: {missing}"
+
+
+def test_dotnet_error_enum_matches_header():
+    src = (BINDINGS / "dotnet" / "STTClient" / "STT.cs").read_text()
+    cs_codes = dict(
+        (name, int(value, 16))
+        for name, value in re.findall(
+            r"(STT_ERR_[A-Z_0-9]+)\s*=\s*(0x[0-9a-fA-F]+)", src
+        )
+    )
+    assert cs_codes == header_error_codes()
+
+
+def test_marshaling_struct_layouts_match_header():
+    """TokenMetadata/CandidateTranscript/Metadata field order must agree."""
+    header = HEADER.read_text()
+
+    def header_fields(struct):
+        body = re.search(
+            r"typedef struct %s \{(.*?)\} %s;" % (struct, struct),
+            header,
+            re.S,
+        ).group(1)
+        return re.findall(r"(\w+);", body)
+
+    assert header_fields("TokenMetadata") == ["text", "timestep", "start_time"]
+    assert header_fields("CandidateTranscript") == [
+        "tokens",
+        "num_tokens",
+        "confidence",
+    ]
+    assert header_fields("Metadata") == ["transcripts", "num_transcripts"]
+
+    # .NET raw structs must marshal the same fields in the same order.
+    cs = (BINDINGS / "dotnet" / "STTClient" / "STT.cs").read_text()
+    raw_token = re.search(r"struct RawToken\s*\{(.*?)\}", cs, re.S).group(1)
+    assert re.findall(r"internal \w+ (\w+);", raw_token) == [
+        "text",
+        "timestep",
+        "start_time",
+    ]
+    raw_ct = re.search(r"struct RawTranscript\s*\{(.*?)\}", cs, re.S).group(1)
+    assert re.findall(r"internal \w+ (\w+);", raw_ct) == [
+        "tokens",
+        "num_tokens",
+        "confidence",
+    ]
+
+
+def test_js_class_surface_matches_reference_shape():
+    """index.js must expose the reference's Model/Stream method names."""
+    js = (BINDINGS / "javascript" / "index.js").read_text()
+    for method in [
+        "beamWidth",
+        "setBeamWidth",
+        "sampleRate",
+        "enableExternalScorer",
+        "disableExternalScorer",
+        "setScorerAlphaBeta",
+        "addHotWord",
+        "eraseHotWord",
+        "clearHotWords",
+        "stt(",
+        "sttWithMetadata",
+        "createStream",
+        "feedAudioContent",
+        "intermediateDecode",
+        "finishStream",
+    ]:
+        assert method in js, f"index.js missing {method}"
+
+
+def test_jni_natives_match_java_declarations():
+    """Every `private static native` in STTModel.java has a JNI export."""
+    java = (BINDINGS / "java" / "src" / "ai" / "stt_tpu" / "STTModel.java").read_text()
+    shim = (BINDINGS / "java" / "jni" / "stt_jni.c").read_text()
+    natives = re.findall(r"native \w+(?:\[\])? (\w+)\(", java)
+    assert len(natives) >= 20
+    for fn in natives:
+        assert fn in shim, f"JNI shim missing native implementation: {fn}"
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node not installed")
+def test_node_addon_builds(tmp_path):
+    subprocess.run(
+        ["node-gyp", "rebuild"],
+        cwd=BINDINGS / "javascript",
+        check=True,
+    )
+    out = subprocess.run(
+        ["node", "-e", "console.log(require('./index.js').Version())"],
+        cwd=BINDINGS / "javascript",
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    assert out.stdout.strip()
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="JDK not installed")
+def test_java_classes_compile(tmp_path):
+    srcs = list((BINDINGS / "java" / "src").rglob("*.java"))
+    subprocess.run(
+        ["javac", "-d", str(tmp_path)] + [str(s) for s in srcs], check=True
+    )
