@@ -32,6 +32,13 @@ def initialize(
     """Join the multi-host runtime (no-op when single-process). Returns
     (process_index, process_count)."""
     if num_processes is not None and num_processes > 1:
+        # CPU backends need an explicit cross-process collectives impl
+        # (tests exercise the multi-host path on CPU devices); TPU ICI/DCN
+        # needs nothing extra. Must run before the backend initializes.
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
