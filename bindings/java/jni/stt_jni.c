@@ -18,45 +18,92 @@
 #define JNIFN(ret, name) \
   JNIEXPORT ret JNICALL Java_ai_stt_1tpu_STTModel_##name
 
+#include <string.h>
+
+/* Build a java.lang.String from raw UTF-8 bytes via new String(byte[],
+ * "UTF-8"). NewStringUTF expects *modified* UTF-8 — feeding it raw UTF-8
+ * containing 4-byte sequences (codepoints outside the BMP) is undefined
+ * behavior — so transcripts/tokens are marshalled through a byte[]. */
+static jstring utf8_to_jstring(JNIEnv* env, const char* s) {
+  if (!s) s = "";
+  size_t n = strlen(s);
+  jbyteArray bytes = (*env)->NewByteArray(env, (jsize)n);
+  if (!bytes || (*env)->ExceptionCheck(env)) return NULL;
+  (*env)->SetByteArrayRegion(env, bytes, 0, (jsize)n, (const jbyte*)s);
+  jclass str_cls = (*env)->FindClass(env, "java/lang/String");
+  jmethodID str_init =
+      str_cls ? (*env)->GetMethodID(env, str_cls, "<init>",
+                                    "([BLjava/lang/String;)V")
+              : NULL;
+  jstring charset =
+      str_init ? (*env)->NewStringUTF(env, "UTF-8") : NULL;
+  if (!charset || (*env)->ExceptionCheck(env)) {
+    (*env)->DeleteLocalRef(env, bytes);
+    return NULL;
+  }
+  jstring out =
+      (jstring)(*env)->NewObject(env, str_cls, str_init, bytes, charset);
+  (*env)->DeleteLocalRef(env, bytes);
+  (*env)->DeleteLocalRef(env, charset);
+  return out;
+}
+
 static jobject metadata_to_java(JNIEnv* env, Metadata* m) {
   jclass tok_cls = (*env)->FindClass(env, "ai/stt_tpu/TokenMetadata");
   jclass ct_cls = (*env)->FindClass(env, "ai/stt_tpu/CandidateTranscript");
   jclass meta_cls = (*env)->FindClass(env, "ai/stt_tpu/Metadata");
+  if (!tok_cls || !ct_cls || !meta_cls || (*env)->ExceptionCheck(env))
+    goto fail;
   jmethodID tok_init =
       (*env)->GetMethodID(env, tok_cls, "<init>", "(Ljava/lang/String;IF)V");
   jmethodID ct_init = (*env)->GetMethodID(
       env, ct_cls, "<init>", "([Lai/stt_tpu/TokenMetadata;D)V");
   jmethodID meta_init = (*env)->GetMethodID(
       env, meta_cls, "<init>", "([Lai/stt_tpu/CandidateTranscript;)V");
+  if (!tok_init || !ct_init || !meta_init || (*env)->ExceptionCheck(env))
+    goto fail;
 
   unsigned int n_ct = m ? m->num_transcripts : 0;
   jobjectArray cts = (*env)->NewObjectArray(env, n_ct, ct_cls, NULL);
+  if (!cts || (*env)->ExceptionCheck(env)) goto fail;
   for (unsigned int i = 0; i < n_ct; ++i) {
     const CandidateTranscript* ct = &m->transcripts[i];
     jobjectArray toks =
         (*env)->NewObjectArray(env, ct->num_tokens, tok_cls, NULL);
+    if (!toks || (*env)->ExceptionCheck(env)) goto fail;
     for (unsigned int t = 0; t < ct->num_tokens; ++t) {
       const TokenMetadata* tok = &ct->tokens[t];
-      jstring text = (*env)->NewStringUTF(env, tok->text ? tok->text : "");
+      jstring text = utf8_to_jstring(env, tok->text);
+      if (!text || (*env)->ExceptionCheck(env)) goto fail;
       jobject jtok = (*env)->NewObject(env, tok_cls, tok_init, text,
                                        (jint)tok->timestep,
                                        (jfloat)tok->start_time);
+      if (!jtok || (*env)->ExceptionCheck(env)) goto fail;
       (*env)->SetObjectArrayElement(env, toks, t, jtok);
       (*env)->DeleteLocalRef(env, jtok);
       (*env)->DeleteLocalRef(env, text);
+      if ((*env)->ExceptionCheck(env)) goto fail;
     }
     jobject jct = (*env)->NewObject(env, ct_cls, ct_init, toks,
                                     (jdouble)ct->confidence);
+    if (!jct || (*env)->ExceptionCheck(env)) goto fail;
     (*env)->SetObjectArrayElement(env, cts, i, jct);
     (*env)->DeleteLocalRef(env, jct);
     (*env)->DeleteLocalRef(env, toks);
+    if ((*env)->ExceptionCheck(env)) goto fail;
   }
   if (m) STT_FreeMetadata(m);
   return (*env)->NewObject(env, meta_cls, meta_init, cts);
+
+fail:
+  /* Leave the pending JNI exception for the caller; just release the
+   * native metadata so it cannot leak. */
+  if (m) STT_FreeMetadata(m);
+  return NULL;
 }
 
 static jstring owned_string_to_java(JNIEnv* env, char* s) {
-  jstring out = (*env)->NewStringUTF(env, s ? s : "");
+  jstring out = utf8_to_jstring(env, s);
   if (s) STT_FreeString(s);
   return out;
 }

@@ -33,29 +33,37 @@ public final class STTModel implements AutoCloseable {
       this.streamHandle = streamHandle;
     }
 
+    private long checkedHandle() {
+      if (streamHandle == 0) {
+        throw new IllegalStateException(
+            "Stream already finished or closed");
+      }
+      return streamHandle;
+    }
+
     /** Feed 16-bit 16 kHz mono PCM. */
     public void feedAudioContent(short[] pcm) {
-      nativeFeedAudioContent(streamHandle, pcm);
+      nativeFeedAudioContent(checkedHandle(), pcm);
     }
 
     /** Non-destructive decode of the audio fed so far. */
     public String intermediateDecode() {
-      return nativeIntermediateDecode(streamHandle);
+      return nativeIntermediateDecode(checkedHandle());
     }
 
     public Metadata intermediateDecodeWithMetadata(int numResults) {
-      return nativeIntermediateDecodeWithMetadata(streamHandle, numResults);
+      return nativeIntermediateDecodeWithMetadata(checkedHandle(), numResults);
     }
 
     /** Final decode; the stream becomes unusable afterwards. */
     public String finishStream() {
-      String text = nativeFinishStream(streamHandle);
+      String text = nativeFinishStream(checkedHandle());
       streamHandle = 0;
       return text;
     }
 
     public Metadata finishStreamWithMetadata(int numResults) {
-      Metadata m = nativeFinishStreamWithMetadata(streamHandle, numResults);
+      Metadata m = nativeFinishStreamWithMetadata(checkedHandle(), numResults);
       streamHandle = 0;
       return m;
     }
@@ -69,53 +77,60 @@ public final class STTModel implements AutoCloseable {
     }
   }
 
+  private long checkedModelHandle() {
+    if (handle == 0) {
+      throw new IllegalStateException("Model already closed");
+    }
+    return handle;
+  }
+
   public int beamWidth() {
-    return nativeBeamWidth(handle);
+    return nativeBeamWidth(checkedModelHandle());
   }
 
   public void setBeamWidth(int width) {
-    STTException.check(nativeSetBeamWidth(handle, width));
+    STTException.check(nativeSetBeamWidth(checkedModelHandle(), width));
   }
 
   public int sampleRate() {
-    return nativeSampleRate(handle);
+    return nativeSampleRate(checkedModelHandle());
   }
 
   public void enableExternalScorer(String scorerPath) {
-    STTException.check(nativeEnableExternalScorer(handle, scorerPath));
+    STTException.check(nativeEnableExternalScorer(checkedModelHandle(), scorerPath));
   }
 
   public void disableExternalScorer() {
-    STTException.check(nativeDisableExternalScorer(handle));
+    STTException.check(nativeDisableExternalScorer(checkedModelHandle()));
   }
 
   public void setScorerAlphaBeta(float alpha, float beta) {
-    STTException.check(nativeSetScorerAlphaBeta(handle, alpha, beta));
+    STTException.check(nativeSetScorerAlphaBeta(checkedModelHandle(), alpha, beta));
   }
 
   public void addHotWord(String word, float boost) {
-    STTException.check(nativeAddHotWord(handle, word, boost));
+    STTException.check(nativeAddHotWord(checkedModelHandle(), word, boost));
   }
 
   public void eraseHotWord(String word) {
-    STTException.check(nativeEraseHotWord(handle, word));
+    STTException.check(nativeEraseHotWord(checkedModelHandle(), word));
   }
 
   public void clearHotWords() {
-    STTException.check(nativeClearHotWords(handle));
+    STTException.check(nativeClearHotWords(checkedModelHandle()));
   }
 
   /** One-shot recognition of 16-bit 16 kHz mono PCM. */
   public String stt(short[] pcm) {
-    return nativeSpeechToText(handle, pcm);
+    return nativeSpeechToText(checkedModelHandle(), pcm);
   }
 
   public Metadata sttWithMetadata(short[] pcm, int numResults) {
-    return nativeSpeechToTextWithMetadata(handle, pcm, numResults);
+    return nativeSpeechToTextWithMetadata(checkedModelHandle(), pcm, numResults);
   }
 
   public Stream createStream() throws IOException {
-    return new Stream(nativeCreateStream(handle));
+    return new Stream(nativeCreateStream(checkedModelHandle()));
   }
 
   public static String version() {

@@ -33,13 +33,28 @@ static napi_value make_string(napi_env env, const char* s) {
   return out;
 }
 
+/* Unwrap a native handle created with napi_create_external. Throws a JS
+ * error (and returns NULL) when the value is not an external or carries a
+ * NULL pointer — e.g. a Stream used after finishStream() or a wrong-typed
+ * argument — instead of letting the C API dereference garbage. */
 static void* get_external(napi_env env, napi_value v) {
+  napi_valuetype vt;
+  if (napi_typeof(env, v, &vt) != napi_ok || vt != napi_external) {
+    napi_throw_type_error(env, NULL, "expected a native stt handle");
+    return NULL;
+  }
   void* p = NULL;
-  napi_get_value_external(env, v, &p);
+  if (napi_get_value_external(env, v, &p) != napi_ok || p == NULL) {
+    napi_throw_error(env, NULL,
+                     "invalid or already-freed native stt handle");
+    return NULL;
+  }
   return p;
 }
 
-/* Accepts a Node Buffer/TypedArray of 16-bit PCM; returns pointer+frames. */
+/* Accepts a Node Buffer or Int16Array of 16-bit PCM; returns pointer+frames.
+ * Any other TypedArray is rejected — treating e.g. a Float32Array's element
+ * count as a byte count would silently decode garbage audio. */
 static short* get_pcm(napi_env env, napi_value v, unsigned int* n_frames) {
   void* data = NULL;
   size_t len = 0;
@@ -54,10 +69,34 @@ static short* get_pcm(napi_env env, napi_value v, unsigned int* n_frames) {
     if (napi_get_typedarray_info(env, v, &type, &len, &data, &arraybuffer,
                                  &offset) != napi_ok)
       return NULL;
-    if (type == napi_int16_array) len *= 2; /* elements → bytes */
+    if (type != napi_int16_array) return NULL;
+    len *= 2; /* elements → bytes */
   }
   *n_frames = (unsigned int)(len / 2);
   return (short*)data;
+}
+
+/* Read a JS string argument into a heap buffer of exactly the right size —
+ * fixed stack buffers would silently truncate long paths/words and e.g.
+ * load a model from a wrong truncated path. Caller frees. */
+static char* get_string(napi_env env, napi_value v) {
+  size_t len = 0;
+  if (napi_get_value_string_utf8(env, v, NULL, 0, &len) != napi_ok) {
+    napi_throw_type_error(env, NULL, "expected a string");
+    return NULL;
+  }
+  char* buf = (char*)malloc(len + 1);
+  if (!buf) {
+    napi_throw_error(env, NULL, "out of memory");
+    return NULL;
+  }
+  size_t copied = 0;
+  if (napi_get_value_string_utf8(env, v, buf, len + 1, &copied) != napi_ok) {
+    free(buf);
+    napi_throw_type_error(env, NULL, "expected a string");
+    return NULL;
+  }
+  return buf;
 }
 
 static napi_value metadata_to_js(napi_env env, Metadata* m) {
@@ -106,12 +145,11 @@ static napi_value CreateModel(napi_env env, napi_callback_info info) {
   size_t argc = 1;
   napi_value argv[1];
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  char path[4096];
-  size_t n;
-  NAPI_CALL(env, napi_get_value_string_utf8(env, argv[0], path, sizeof(path),
-                                            &n));
+  char* path = get_string(env, argv[0]);
+  if (!path) return NULL;
   ModelState* model = NULL;
   int status = STT_CreateModel(path, &model);
+  free(path);
   napi_value out, jstatus, jmodel;
   napi_create_object(env, &out);
   napi_create_int32(env, status, &jstatus);
@@ -127,7 +165,9 @@ static napi_value FreeModel(napi_env env, napi_callback_info info) {
   size_t argc = 1;
   napi_value argv[1];
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  STT_FreeModel((ModelState*)get_external(env, argv[0]));
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
+  STT_FreeModel(model);
   return NULL;
 }
 
@@ -135,9 +175,9 @@ static napi_value GetModelBeamWidth(napi_env env, napi_callback_info info) {
   size_t argc = 1;
   napi_value argv[1], out;
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  napi_create_uint32(
-      env, STT_GetModelBeamWidth((ModelState*)get_external(env, argv[0])),
-      &out);
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
+  napi_create_uint32(env, STT_GetModelBeamWidth(model), &out);
   return out;
 }
 
@@ -147,10 +187,9 @@ static napi_value SetModelBeamWidth(napi_env env, napi_callback_info info) {
   uint32_t width;
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
   NAPI_CALL(env, napi_get_value_uint32(env, argv[1], &width));
-  napi_create_int32(
-      env,
-      STT_SetModelBeamWidth((ModelState*)get_external(env, argv[0]), width),
-      &out);
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
+  napi_create_int32(env, STT_SetModelBeamWidth(model, width), &out);
   return out;
 }
 
@@ -158,9 +197,9 @@ static napi_value GetModelSampleRate(napi_env env, napi_callback_info info) {
   size_t argc = 1;
   napi_value argv[1], out;
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  napi_create_int32(
-      env, STT_GetModelSampleRate((ModelState*)get_external(env, argv[0])),
-      &out);
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
+  napi_create_int32(env, STT_GetModelSampleRate(model), &out);
   return out;
 }
 
@@ -170,14 +209,13 @@ static napi_value EnableExternalScorer(napi_env env, napi_callback_info info) {
   size_t argc = 2;
   napi_value argv[2], out;
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  char path[4096];
-  size_t n;
-  NAPI_CALL(env, napi_get_value_string_utf8(env, argv[1], path, sizeof(path),
-                                            &n));
-  napi_create_int32(
-      env,
-      STT_EnableExternalScorer((ModelState*)get_external(env, argv[0]), path),
-      &out);
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
+  char* path = get_string(env, argv[1]);
+  if (!path) return NULL;
+  int status = STT_EnableExternalScorer(model, path);
+  free(path);
+  napi_create_int32(env, status, &out);
   return out;
 }
 
@@ -186,10 +224,9 @@ static napi_value DisableExternalScorer(napi_env env,
   size_t argc = 1;
   napi_value argv[1], out;
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  napi_create_int32(
-      env,
-      STT_DisableExternalScorer((ModelState*)get_external(env, argv[0])),
-      &out);
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
+  napi_create_int32(env, STT_DisableExternalScorer(model), &out);
   return out;
 }
 
@@ -200,11 +237,11 @@ static napi_value SetScorerAlphaBeta(napi_env env, napi_callback_info info) {
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
   NAPI_CALL(env, napi_get_value_double(env, argv[1], &alpha));
   NAPI_CALL(env, napi_get_value_double(env, argv[2], &beta));
-  napi_create_int32(
-      env,
-      STT_SetScorerAlphaBeta((ModelState*)get_external(env, argv[0]),
-                             (float)alpha, (float)beta),
-      &out);
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
+  napi_create_int32(env,
+                    STT_SetScorerAlphaBeta(model, (float)alpha, (float)beta),
+                    &out);
   return out;
 }
 
@@ -212,17 +249,15 @@ static napi_value AddHotWord(napi_env env, napi_callback_info info) {
   size_t argc = 3;
   napi_value argv[3], out;
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  char word[1024];
-  size_t n;
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
   double boost;
-  NAPI_CALL(env, napi_get_value_string_utf8(env, argv[1], word, sizeof(word),
-                                            &n));
   NAPI_CALL(env, napi_get_value_double(env, argv[2], &boost));
-  napi_create_int32(
-      env,
-      STT_AddHotWord((ModelState*)get_external(env, argv[0]), word,
-                     (float)boost),
-      &out);
+  char* word = get_string(env, argv[1]);
+  if (!word) return NULL;
+  int status = STT_AddHotWord(model, word, (float)boost);
+  free(word);
+  napi_create_int32(env, status, &out);
   return out;
 }
 
@@ -230,13 +265,13 @@ static napi_value EraseHotWord(napi_env env, napi_callback_info info) {
   size_t argc = 2;
   napi_value argv[2], out;
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  char word[1024];
-  size_t n;
-  NAPI_CALL(env, napi_get_value_string_utf8(env, argv[1], word, sizeof(word),
-                                            &n));
-  napi_create_int32(
-      env, STT_EraseHotWord((ModelState*)get_external(env, argv[0]), word),
-      &out);
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
+  char* word = get_string(env, argv[1]);
+  if (!word) return NULL;
+  int status = STT_EraseHotWord(model, word);
+  free(word);
+  napi_create_int32(env, status, &out);
   return out;
 }
 
@@ -244,8 +279,9 @@ static napi_value ClearHotWords(napi_env env, napi_callback_info info) {
   size_t argc = 1;
   napi_value argv[1], out;
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  napi_create_int32(
-      env, STT_ClearHotWords((ModelState*)get_external(env, argv[0])), &out);
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
+  napi_create_int32(env, STT_ClearHotWords(model), &out);
   return out;
 }
 
@@ -255,16 +291,15 @@ static napi_value SpeechToText(napi_env env, napi_callback_info info) {
   size_t argc = 2;
   napi_value argv[2];
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
   unsigned int n_frames;
   short* pcm = get_pcm(env, argv[1], &n_frames);
   if (!pcm) {
     napi_throw_type_error(env, NULL, "expected Buffer or Int16Array");
     return NULL;
   }
-  return owned_string_to_js(
-      env,
-      STT_SpeechToText((ModelState*)get_external(env, argv[0]), pcm,
-                       n_frames));
+  return owned_string_to_js(env, STT_SpeechToText(model, pcm, n_frames));
 }
 
 static napi_value SpeechToTextWithMetadata(napi_env env,
@@ -274,6 +309,8 @@ static napi_value SpeechToTextWithMetadata(napi_env env,
   uint32_t num_results = 1;
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
   if (argc > 2) napi_get_value_uint32(env, argv[2], &num_results);
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
   unsigned int n_frames;
   short* pcm = get_pcm(env, argv[1], &n_frames);
   if (!pcm) {
@@ -281,8 +318,7 @@ static napi_value SpeechToTextWithMetadata(napi_env env,
     return NULL;
   }
   return metadata_to_js(
-      env, STT_SpeechToTextWithMetadata((ModelState*)get_external(env, argv[0]),
-                                        pcm, n_frames, num_results));
+      env, STT_SpeechToTextWithMetadata(model, pcm, n_frames, num_results));
 }
 
 /* -- streaming ------------------------------------------------------------- */
@@ -291,9 +327,10 @@ static napi_value CreateStream(napi_env env, napi_callback_info info) {
   size_t argc = 1;
   napi_value argv[1];
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
+  ModelState* model = (ModelState*)get_external(env, argv[0]);
+  if (!model) return NULL;
   StreamingState* stream = NULL;
-  int status =
-      STT_CreateStream((ModelState*)get_external(env, argv[0]), &stream);
+  int status = STT_CreateStream(model, &stream);
   napi_value out, jstatus, jstream;
   napi_create_object(env, &out);
   napi_create_int32(env, status, &jstatus);
@@ -309,14 +346,15 @@ static napi_value FeedAudioContent(napi_env env, napi_callback_info info) {
   size_t argc = 2;
   napi_value argv[2];
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
+  StreamingState* stream = (StreamingState*)get_external(env, argv[0]);
+  if (!stream) return NULL;
   unsigned int n_frames;
   short* pcm = get_pcm(env, argv[1], &n_frames);
   if (!pcm) {
     napi_throw_type_error(env, NULL, "expected Buffer or Int16Array");
     return NULL;
   }
-  STT_FeedAudioContent((StreamingState*)get_external(env, argv[0]), pcm,
-                       n_frames);
+  STT_FeedAudioContent(stream, pcm, n_frames);
   return NULL;
 }
 
@@ -324,9 +362,9 @@ static napi_value IntermediateDecode(napi_env env, napi_callback_info info) {
   size_t argc = 1;
   napi_value argv[1];
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  return owned_string_to_js(
-      env,
-      STT_IntermediateDecode((StreamingState*)get_external(env, argv[0])));
+  StreamingState* stream = (StreamingState*)get_external(env, argv[0]);
+  if (!stream) return NULL;
+  return owned_string_to_js(env, STT_IntermediateDecode(stream));
 }
 
 static napi_value IntermediateDecodeWithMetadata(napi_env env,
@@ -336,17 +374,19 @@ static napi_value IntermediateDecodeWithMetadata(napi_env env,
   uint32_t num_results = 1;
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
   if (argc > 1) napi_get_value_uint32(env, argv[1], &num_results);
+  StreamingState* stream = (StreamingState*)get_external(env, argv[0]);
+  if (!stream) return NULL;
   return metadata_to_js(
-      env, STT_IntermediateDecodeWithMetadata(
-               (StreamingState*)get_external(env, argv[0]), num_results));
+      env, STT_IntermediateDecodeWithMetadata(stream, num_results));
 }
 
 static napi_value FinishStream(napi_env env, napi_callback_info info) {
   size_t argc = 1;
   napi_value argv[1];
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  return owned_string_to_js(
-      env, STT_FinishStream((StreamingState*)get_external(env, argv[0])));
+  StreamingState* stream = (StreamingState*)get_external(env, argv[0]);
+  if (!stream) return NULL;
+  return owned_string_to_js(env, STT_FinishStream(stream));
 }
 
 static napi_value FinishStreamWithMetadata(napi_env env,
@@ -356,16 +396,19 @@ static napi_value FinishStreamWithMetadata(napi_env env,
   uint32_t num_results = 1;
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
   if (argc > 1) napi_get_value_uint32(env, argv[1], &num_results);
-  return metadata_to_js(
-      env, STT_FinishStreamWithMetadata(
-               (StreamingState*)get_external(env, argv[0]), num_results));
+  StreamingState* stream = (StreamingState*)get_external(env, argv[0]);
+  if (!stream) return NULL;
+  return metadata_to_js(env,
+                        STT_FinishStreamWithMetadata(stream, num_results));
 }
 
 static napi_value FreeStream(napi_env env, napi_callback_info info) {
   size_t argc = 1;
   napi_value argv[1];
   NAPI_CALL(env, napi_get_cb_info(env, info, &argc, argv, NULL, NULL));
-  STT_FreeStream((StreamingState*)get_external(env, argv[0]));
+  StreamingState* stream = (StreamingState*)get_external(env, argv[0]);
+  if (!stream) return NULL;
+  STT_FreeStream(stream);
   return NULL;
 }
 

@@ -156,7 +156,9 @@ Metadata* build_metadata(PyObject* list) {
 extern "C" {
 
 int STT_CreateModel(const char* model_path, ModelState** retval) {
+  if (!retval) return STT_ERR_FAIL_CREATE_MODEL;
   *retval = nullptr;
+  if (!model_path) return STT_ERR_FAIL_CREATE_MODEL;
   ensure_python();
   Gil gil;
   PyObject* result = call("create_model", "(s)", model_path);
@@ -175,6 +177,7 @@ void STT_FreeModel(ModelState* ctx) {
 }
 
 unsigned int STT_GetModelBeamWidth(const ModelState* ctx) {
+  if (!ctx) return 0;
   Gil gil;
   PyObject* result = call("get_beam_width", "(l)", ctx->handle);
   if (!result) {
@@ -187,6 +190,7 @@ unsigned int STT_GetModelBeamWidth(const ModelState* ctx) {
 }
 
 int STT_SetModelBeamWidth(ModelState* ctx, unsigned int beam_width) {
+  if (!ctx) return STT_ERR_NO_MODEL;
   Gil gil;
   PyObject* result =
       call("set_beam_width", "(ll)", ctx->handle, (long)beam_width);
@@ -196,6 +200,7 @@ int STT_SetModelBeamWidth(ModelState* ctx, unsigned int beam_width) {
 }
 
 int STT_GetModelSampleRate(const ModelState* ctx) {
+  if (!ctx) return -1;
   Gil gil;
   PyObject* result = call("get_sample_rate", "(l)", ctx->handle);
   if (!result) {
@@ -208,6 +213,7 @@ int STT_GetModelSampleRate(const ModelState* ctx) {
 }
 
 int STT_EnableExternalScorer(ModelState* ctx, const char* path) {
+  if (!ctx) return STT_ERR_NO_MODEL;
   Gil gil;
   PyObject* result =
       call("enable_external_scorer", "(ls)", ctx->handle, path);
@@ -217,6 +223,7 @@ int STT_EnableExternalScorer(ModelState* ctx, const char* path) {
 }
 
 int STT_DisableExternalScorer(ModelState* ctx) {
+  if (!ctx) return STT_ERR_NO_MODEL;
   Gil gil;
   PyObject* result = call("disable_external_scorer", "(l)", ctx->handle);
   if (!result) return map_exception();
@@ -225,6 +232,7 @@ int STT_DisableExternalScorer(ModelState* ctx) {
 }
 
 int STT_SetScorerAlphaBeta(ModelState* ctx, float alpha, float beta) {
+  if (!ctx) return STT_ERR_NO_MODEL;
   Gil gil;
   PyObject* result = call("set_scorer_alpha_beta", "(ldd)", ctx->handle,
                           (double)alpha, (double)beta);
@@ -234,6 +242,7 @@ int STT_SetScorerAlphaBeta(ModelState* ctx, float alpha, float beta) {
 }
 
 int STT_AddHotWord(ModelState* ctx, const char* word, float boost) {
+  if (!ctx || !word) return STT_ERR_FAIL_INSERT_HOTWORD;
   Gil gil;
   PyObject* result =
       call("add_hot_word", "(lsd)", ctx->handle, word, (double)boost);
@@ -246,6 +255,7 @@ int STT_AddHotWord(ModelState* ctx, const char* word, float boost) {
 }
 
 int STT_EraseHotWord(ModelState* ctx, const char* word) {
+  if (!ctx || !word) return STT_ERR_FAIL_ERASE_HOTWORD;
   Gil gil;
   PyObject* result = call("erase_hot_word", "(ls)", ctx->handle, word);
   if (!result) {
@@ -257,6 +267,7 @@ int STT_EraseHotWord(ModelState* ctx, const char* word) {
 }
 
 int STT_ClearHotWords(ModelState* ctx) {
+  if (!ctx) return STT_ERR_FAIL_CLEAR_HOTWORD;
   Gil gil;
   PyObject* result = call("clear_hot_words", "(l)", ctx->handle);
   if (!result) {
@@ -269,6 +280,7 @@ int STT_ClearHotWords(ModelState* ctx) {
 
 char* STT_SpeechToText(ModelState* ctx, const short* buffer,
                        unsigned int buffer_size) {
+  if (!ctx || !buffer) return nullptr;
   Gil gil;
   PyObject* result =
       call("speech_to_text", "(ly#)", ctx->handle, (const char*)buffer,
@@ -285,6 +297,7 @@ char* STT_SpeechToText(ModelState* ctx, const short* buffer,
 Metadata* STT_SpeechToTextWithMetadata(ModelState* ctx, const short* buffer,
                                        unsigned int buffer_size,
                                        unsigned int num_results) {
+  if (!ctx || !buffer) return nullptr;
   Gil gil;
   PyObject* result = call("speech_to_text_with_metadata", "(ly#l)",
                           ctx->handle, (const char*)buffer,
@@ -300,7 +313,9 @@ Metadata* STT_SpeechToTextWithMetadata(ModelState* ctx, const short* buffer,
 }
 
 int STT_CreateStream(ModelState* ctx, StreamingState** retval) {
+  if (!retval) return STT_ERR_FAIL_CREATE_STREAM;
   *retval = nullptr;
+  if (!ctx) return STT_ERR_NO_MODEL;
   Gil gil;
   PyObject* result = call("create_stream", "(l)", ctx->handle);
   if (!result) return map_exception();
@@ -312,6 +327,7 @@ int STT_CreateStream(ModelState* ctx, StreamingState** retval) {
 
 void STT_FeedAudioContent(StreamingState* sctx, const short* buffer,
                           unsigned int buffer_size) {
+  if (!sctx || !buffer) return;
   Gil gil;
   PyObject* result =
       call("feed_audio_content", "(ly#)", sctx->handle, (const char*)buffer,
@@ -323,6 +339,7 @@ void STT_FeedAudioContent(StreamingState* sctx, const short* buffer,
 }
 
 char* STT_IntermediateDecode(StreamingState* sctx) {
+  if (!sctx) return nullptr;
   Gil gil;
   PyObject* result = call("intermediate_decode", "(l)", sctx->handle);
   if (!result) {
@@ -336,6 +353,7 @@ char* STT_IntermediateDecode(StreamingState* sctx) {
 
 Metadata* STT_IntermediateDecodeWithMetadata(StreamingState* sctx,
                                              unsigned int num_results) {
+  if (!sctx) return nullptr;
   Gil gil;
   PyObject* result = call("intermediate_decode_with_metadata", "(ll)",
                           sctx->handle, (long)num_results);
@@ -349,6 +367,7 @@ Metadata* STT_IntermediateDecodeWithMetadata(StreamingState* sctx,
 }
 
 char* STT_FinishStream(StreamingState* sctx) {
+  if (!sctx) return nullptr;
   Gil gil;
   PyObject* result = call("finish_stream", "(l)", sctx->handle);
   char* text = nullptr;
@@ -364,6 +383,7 @@ char* STT_FinishStream(StreamingState* sctx) {
 
 Metadata* STT_FinishStreamWithMetadata(StreamingState* sctx,
                                        unsigned int num_results) {
+  if (!sctx) return nullptr;
   Gil gil;
   PyObject* result = call("finish_stream_with_metadata", "(ll)",
                           sctx->handle, (long)num_results);

@@ -141,6 +141,34 @@ def test_jni_natives_match_java_declarations():
         assert fn in shim, f"JNI shim missing native implementation: {fn}"
 
 
+@pytest.mark.skipif(shutil.which("gcc") is None, reason="gcc not installed")
+@pytest.mark.parametrize(
+    "source",
+    [BINDINGS / "javascript" / "addon.c", BINDINGS / "java" / "jni" / "stt_jni.c"],
+    ids=["node-addon", "jni-shim"],
+)
+def test_c_bindings_compile_against_stub_headers(source):
+    """Full -Wall -Werror syntax check against the real API shapes.
+
+    node_api.h / jni.h are not in this image, so stubs in
+    tests/binding_stubs/ declare exactly the toolchain surface the shims
+    use; any type error, missing prototype, or warning in the binding C
+    code fails here without needing node-gyp or a JDK.
+    """
+    subprocess.run(
+        [
+            "gcc",
+            "-fsyntax-only",
+            "-Wall",
+            "-Werror",
+            "-I",
+            str(REPO / "tests" / "binding_stubs"),
+            str(source),
+        ],
+        check=True,
+    )
+
+
 @pytest.mark.skipif(shutil.which("node") is None, reason="node not installed")
 def test_node_addon_builds(tmp_path):
     subprocess.run(

@@ -32,6 +32,22 @@ def free_port():
         return s.getsockname()[1]
 
 
+def run_workers(port, env):
+    """Spawn the two workers and collect (returncode, stdout, stderr)."""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(pid), "2", str(port)],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    return [p.communicate(timeout=300) + (p.returncode,) for p in procs]
+
+
 def parse(stdout):
     out = {}
     for line in stdout.splitlines():
@@ -44,25 +60,26 @@ def parse(stdout):
 
 
 def test_two_process_data_parallel_training():
-    port = free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(WORKER), str(pid), "2", str(port)],
-            cwd=REPO,
-            env=env,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
+
+    # bind-then-close port reservation is racy (another process can grab
+    # the port before the coordinator binds it) — retry the whole spawn on
+    # coordinator bind failure with a fresh port.
+    for attempt in range(3):
+        results = run_workers(free_port(), env)
+        if all(rc == 0 for _, _, rc in results):
+            break
+        bind_failure = any(
+            "address already in use" in (out + err).lower()
+            or "failed to bind" in (out + err).lower()
+            for out, err, rc in results
+            if rc != 0
         )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        stdout, stderr = p.communicate(timeout=300)
-        assert p.returncode == 0, f"worker failed:\n{stdout}\n{stderr}"
-        outs.append(parse(stdout))
+        if not (bind_failure and attempt < 2):
+            for out, err, rc in results:
+                assert rc == 0, f"worker failed:\n{out}\n{err}"
+    outs = [parse(out) for out, _, _ in results]
 
     for key in ("LOSS0", "LOSS1", "WER"):
         assert key in outs[0] and key in outs[1], outs
