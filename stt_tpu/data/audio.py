@@ -3,9 +3,10 @@
 Covers the reference's util/audio.py surface that the training/serving
 paths need: WAV read/write, int16<->float conversion (the i16/32768 scale
 the streaming engine uses, stt.cc:113), resampling, loudness (dBFS)
-measures, and normalization. Exotic container formats (OPUS/OGG/FLAC in
-SDB) are format-gated: decoding libraries aren't in this image, so those
-samples raise a clear error instead of importing dead deps.
+measures, and normalization. Compressed formats decode through in-tree
+pure-Python decoders (FLAC, Ogg Vorbis, SPHERE) or thin ctypes bindings
+over system libraries (Opus via libopus, MP3 via libmpg123), each gated
+with a clear error when the library is absent.
 """
 
 from __future__ import annotations
@@ -56,8 +57,8 @@ def read_wav(path: str, desired_rate: int | None = None) -> Tuple[np.ndarray, in
 def read_audio(path: str, desired_rate: int | None = None) -> Tuple[np.ndarray, int]:
     """Read an audio file by extension: .wav (PCM), .flac (pure-Python
     decoder, bit-exact), .ogg Vorbis (pure-Python decoder), or .sph
-    (NIST SPHERE: pcm/ulaw/alaw). Opus and MP3 need codec libraries
-    absent from this build and raise a clear error."""
+    (NIST SPHERE: pcm/ulaw/alaw), .opus (Ogg Opus via the system
+    libopus), or .mp3 (via the system libmpg123)."""
     ext = path.lower().rsplit(".", 1)[-1]
     if ext == "wav":
         return read_wav(path, desired_rate)
@@ -78,15 +79,31 @@ def read_audio(path: str, desired_rate: int | None = None) -> Tuple[np.ndarray, 
         if audio.ndim == 2:
             audio = audio.mean(axis=1)
     elif ext == "opus":
-        raise ValueError(
-            f"{path}: Ogg Opus needs an Opus codec this build lacks "
-            "(CELT/SILK); convert to wav/flac/ogg-vorbis first"
-        )
+        from stt_tpu.data.opus import opus_available, read_ogg_opus_file
+
+        if not opus_available():
+            raise ValueError(
+                f"{path}: Ogg Opus needs libopus, which is not available "
+                "on this system; convert to wav/flac/ogg-vorbis first"
+            )
+        audio, rate = read_ogg_opus_file(path)
+        if audio.ndim == 2:
+            audio = audio.mean(axis=1)
+    elif ext == "mp3":
+        from stt_tpu.data.mp3 import mp3_available, read_mp3
+
+        if not mp3_available():
+            raise ValueError(
+                f"{path}: MP3 needs libmpg123, which is not available on "
+                "this system; convert to wav/flac first"
+            )
+        audio, rate = read_mp3(path)
+        if audio.ndim == 2:
+            audio = audio.mean(axis=1)
     else:
         raise ValueError(
             f"unsupported audio format '.{ext}' ({path}): this build "
-            "decodes wav, flac, ogg (Vorbis), and sph; opus/mp3 require "
-            "codec libraries"
+            "decodes wav, flac, ogg (Vorbis), sph, opus, and mp3"
         )
     if desired_rate is not None and rate != desired_rate:
         audio = resample(audio, rate, desired_rate)

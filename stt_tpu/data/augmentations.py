@@ -5,8 +5,8 @@ Parity surface: util/augmentations.py —
 - spec strings like "reverb[p=0.5,delay=20.0~5]" with ValueRange params
   swept by the training "clock" (epoch progress 0->1) for curriculum;
 - SampleAugmentations mutate raw audio on the host (overlay, reverb,
-  resample, normalize_sample_rate, volume; codec is format-gated — no
-  Opus codec in this build);
+  resample, normalize_sample_rate, volume, codec — a lossy Opus round
+  trip through the system libopus);
 - GraphAugmentations transform per-utterance spectrograms/features
   (pitch, tempo, warp, frequency_mask, time_mask, dropout, add,
   multiply). The reference runs these inside the TF graph; here they are
@@ -126,15 +126,34 @@ class Overlay(SampleAugmentation):
 
 
 class Codec(SampleAugmentation):
+    """Lossy Opus encode->decode round trip at a (possibly scheduled)
+    bitrate — reference augmentations.py:366-383 (PCM -> AUDIO_TYPE_OPUS
+    -> decoded again downstream). Requires the system libopus."""
+
     def __init__(self, p=1.0, bitrate=3200):
         super().__init__(p)
         self.bitrate = int_range(bitrate)
 
     def apply(self, sample, clock=0.0, rng=None):
-        raise NotImplementedError(
-            "codec augmentation requires an Opus encoder, which is not "
-            "available in this build"
-        )
+        from stt_tpu.data.opus import codec_round_trip, opus_available
+
+        if not opus_available():
+            raise NotImplementedError(
+                "codec augmentation requires libopus, which is not "
+                "available on this system"
+            )
+        bitrate = pick_value_from_range(self.bitrate, clock=clock, rng=rng)
+        # libopus accepts Fs in {8000,12000,16000,24000,48000}; resample
+        # other rates to 16 kHz (the pipeline's target rate) first
+        rate = sample.rate
+        audio = np.asarray(sample.audio, np.float32)
+        if rate not in (8000, 12000, 16000, 24000, 48000):
+            from stt_tpu.data.audio import resample
+
+            audio = resample(audio, rate, 16000)
+            rate = 16000
+            sample.rate = rate
+        sample.audio = codec_round_trip(audio, rate, int(bitrate))
 
 
 class Reverb(SampleAugmentation):

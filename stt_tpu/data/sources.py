@@ -7,10 +7,10 @@ Parity surface: util/sample_collections.py —
 - SDB binary format (:25,:124-235): b"SAMPLEDB" magic, big-endian
   lengths; JSON schema chunk; sample chunk of length-prefixed rows
   (each: int32 entry_len, then per column int32 len + bytes); trailing
-  offset index (int64 count + per-row absolute offsets). The reference
-  default-encodes audio as Opus — this image has no Opus codec, so this
-  implementation reads/writes WAV-coded SDBs and raises a clear error on
-  Opus content.
+  offset index (int64 count + per-row absolute offsets). Audio columns
+  may be WAV- or Opus-coded (the reference's default SDB audio type is
+  Opus); Opus rows decode/encode through the system libopus via
+  stt_tpu.data.opus and raise a clear error when libopus is absent.
 - webdataset tar source (:575): .wav/.txt member pairs grouped by key.
 - multi-source interleaving by duration (:645-737).
 
@@ -40,6 +40,7 @@ SCHEMA_KEY = "schema"
 CONTENT_KEY = "content"
 MIME_TYPE_KEY = "mime-type"
 MIME_WAV = "audio/wav"
+MIME_OPUS = "application/vnd.mozilla.opus"  # reference audio.py:24 (Opus-in-SDB)
 MIME_TEXT = "text/plain"
 CONTENT_SPEECH = "speech"
 CONTENT_TRANSCRIPT = "transcript"
@@ -165,13 +166,22 @@ class CSVWriter:
 
 
 class SDBWriter:
-    def __init__(self, sdb_path: str, labeled: bool = True):
+    def __init__(self, sdb_path: str, labeled: bool = True,
+                 audio_type: str = "wav", bitrate: Optional[int] = None):
+        """audio_type: "wav" (lossless, default) or "opus" (the
+        reference DirectSDBWriter's default, sample_collections.py:124);
+        bitrate applies to opus only."""
+        if audio_type not in ("wav", "opus"):
+            raise ValueError(f"unsupported SDB audio_type {audio_type!r}")
         self.sdb_path = sdb_path
         self.labeled = labeled
+        self.audio_type = audio_type
+        self.bitrate = bitrate
         self._file = open(sdb_path, "wb")
         self._offsets: List[int] = []
         self._file.write(MAGIC)
-        schema = [{CONTENT_KEY: CONTENT_SPEECH, MIME_TYPE_KEY: MIME_WAV}]
+        mime = MIME_OPUS if audio_type == "opus" else MIME_WAV
+        schema = [{CONTENT_KEY: CONTENT_SPEECH, MIME_TYPE_KEY: mime}]
         if labeled:
             schema.append(
                 {CONTENT_KEY: CONTENT_TRANSCRIPT, MIME_TYPE_KEY: MIME_TEXT}
@@ -183,18 +193,25 @@ class SDBWriter:
         self._file.seek(2 * BIGINT_SIZE, 1)
 
     def add(self, sample: Sample) -> int:
+        pcm = (
+            np.clip(sample.audio * 32768.0, -32768, 32767)
+            .astype(np.int16)
+            .tobytes()
+        )
         buf = io.BytesIO()
-        import wave
+        if self.audio_type == "opus":
+            from stt_tpu.data.opus import write_opus
 
-        with wave.open(buf, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(sample.rate)
-            w.writeframes(
-                np.clip(sample.audio * 32768.0, -32768, 32767)
-                .astype(np.int16)
-                .tobytes()
-            )
+            write_opus(buf, pcm, rate=sample.rate, channels=1, width=2,
+                       bitrate=self.bitrate)
+        else:
+            import wave
+
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sample.rate)
+                w.writeframes(pcm)
         chunks = [buf.getvalue()]
         if self.labeled:
             chunks.append((sample.transcript or "").encode())
@@ -248,11 +265,20 @@ class SDBSource:
             i for i, c in enumerate(schema) if c[CONTENT_KEY] == CONTENT_SPEECH
         )
         mime = schema[self.speech_index][MIME_TYPE_KEY]
-        if mime != MIME_WAV:
+        if mime == MIME_OPUS:
+            from stt_tpu.data.opus import opus_available
+
+            if not opus_available():
+                raise NotImplementedError(
+                    f"SDB audio mime {mime!r} needs libopus, which is not "
+                    "available on this system"
+                )
+        elif mime != MIME_WAV:
             raise NotImplementedError(
-                f"SDB audio mime {mime!r} needs a codec not present in this "
-                "build (only audio/wav SDBs are supported)"
+                f"SDB audio mime {mime!r} is not supported (audio/wav and "
+                "Opus SDBs are)"
             )
+        self.audio_mime = mime
         transcript_idx = [
             i for i, c in enumerate(schema) if c[CONTENT_KEY] == CONTENT_TRANSCRIPT
         ]
@@ -290,7 +316,17 @@ class SDBSource:
         if self.labeled:
             cols.append(self.transcript_index)
         data = self._read_row(i, *cols)
-        audio, rate = read_wav_bytes(data[0])
+        if self.audio_mime == MIME_OPUS:
+            from stt_tpu.data.opus import read_opus
+
+            pcm_bytes, rate, channels, _ = read_opus(io.BytesIO(data[0]))
+            audio = (
+                np.frombuffer(pcm_bytes, np.int16).astype(np.float32) / 32768.0
+            )
+            if channels > 1:
+                audio = audio.reshape(-1, channels).mean(axis=1)
+        else:
+            audio, rate = read_wav_bytes(data[0])
         return Sample(
             sample_id=f"{self.sdb_path}:{i}",
             transcript=data[1].decode() if self.labeled else None,

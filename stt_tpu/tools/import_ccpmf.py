@@ -4,10 +4,10 @@ of finance) importer — counterpart of bin/import_ccpmf.py.
 Input: pairs of <session>.xml transcriptions (rows of
 ``<row timestamp="s" timedur="s">text</row>``) and session audio. The
 reference merges contiguous rows (close timestamps, total under
-MAX_SECS), converts the mp3 with sox, slices per merged sample, and
+MAX_SECS), decodes the session mp3, slices per merged sample, and
 normalizes French text (special chars, anglicisms, digits to words via
-num2words). This build has no mp3 codec: each <session>.xml needs a
-pre-converted 16 kHz <session>.wav next to it. Digit normalization uses
+num2words). Each <session>.mp3 decodes in-process via libmpg123 (a
+16 kHz <session>.wav beside the xml also works). Digit normalization uses
 the built-in French number speller below. Output:
 ccpmf_{train,dev,test}.csv with a 99%-confidence dev/test sample size.
 """
@@ -155,8 +155,11 @@ def preprocess_data(data_dir: str, target_dir: str | None = None):
     for xml_file in sorted(
         glob.glob(os.path.join(data_dir, "**", "*.xml"), recursive=True)
     ):
-        wav = os.path.splitext(xml_file)[0] + ".wav"
-        if not os.path.isfile(wav):
+        stem = os.path.splitext(xml_file)[0]
+        wav = stem + ".wav"
+        from stt_tpu.tools.importers import ensure_wav
+
+        if not ensure_wav(stem + ".mp3", wav, SAMPLE_RATE):
             missing += 1
             continue
         base = os.path.splitext(os.path.basename(xml_file))[0]
@@ -178,8 +181,8 @@ def preprocess_data(data_dir: str, target_dir: str | None = None):
         )
     if missing:
         print(
-            f"Warning: {missing} sessions had no wav beside the xml — "
-            "pre-convert the mp3s first (no mp3 codec in this build)."
+            f"Warning: {missing} sessions could not be decoded "
+            "(missing mp3/wav beside the xml, or libmpg123 unavailable)."
         )
 
     sample_size = get_sample_size(len(rows))

@@ -1,8 +1,8 @@
 """Common Voice v1 importer (counterpart of bin/import_cv.py).
 
 Layout: cv_corpus_v1/ with cv-{valid,other,invalid}-{train,dev,test}.csv
-catalogs ("filename,text,...") pointing at mp3 clips. This build has no
-mp3 codec: clips must be pre-converted to wav next to the mp3s (same
+catalogs ("filename,text,...") pointing at mp3 clips; mp3s decode
+in-process through libmpg123 (wavs are cached next to the mp3s, same
 stem), which is also what the reference produces on disk after its sox
 pass. Rows are validated/filtered like the reference (<= 10 s,
 >= 10 ms per 2 chars) and written as one output CSV per input catalog.
@@ -16,6 +16,7 @@ import glob
 import os
 
 from stt_tpu.tools.importers import (
+    ensure_wav,
     filter_sample,
     get_counter,
     print_import_report,
@@ -37,7 +38,7 @@ def convert_catalog(extracted_dir: str, source_csv: str, target_csv: str,
         for entry in csv.DictReader(f):
             clip = os.path.join(extracted_dir, entry["filename"])
             wav = os.path.splitext(clip)[0] + ".wav"
-            if not os.path.isfile(wav):
+            if not ensure_wav(clip, wav, SAMPLE_RATE):
                 missing_mp3 += 1
                 counter["all"] += 1
                 counter["failed"] += 1
@@ -49,8 +50,8 @@ def convert_catalog(extracted_dir: str, source_csv: str, target_csv: str,
                 rows.append(row)
     if missing_mp3:
         print(
-            f"Warning: {missing_mp3} clips had no wav next to the mp3 — "
-            "no mp3 codec in this build; pre-convert clips to wav first."
+            f"Warning: {missing_mp3} clips could not be decoded "
+            "(missing file, or libmpg123 unavailable for mp3)."
         )
     print_import_report(counter, SAMPLE_RATE, MAX_SECS)
     write_samples_csv(target_csv, rows)

@@ -2,9 +2,8 @@
 (clips/ + {train,dev,test}.tsv) into per-split CSVs with validated
 transcripts (parity: bin/import_cv2.py).
 
-Audio handling: Common Voice ships mp3/wav clips. This build has no mp3
-codec, so mp3 clips must be pre-converted (any wav-converted mirror
-works); wav clips import directly, resampled to 16 kHz mono.
+Audio handling: Common Voice ships mp3/wav clips; both import directly
+(mp3 decodes in-process via libmpg123), resampled to 16 kHz mono.
 
 Run: python -m stt_tpu.tools.import_cv2 --audio_dir cv/clips \
        --tsv_dir cv/ --target_dir out [--validate_label_locale x.py]
@@ -48,11 +47,10 @@ def import_split(
             if not os.path.isfile(src):
                 counter["failed"] += 1
                 continue
-            if not src.lower().endswith(".wav"):
-                counter["failed"] += 1
-                continue  # no mp3 codec in this build
             try:
-                audio, rate = read_wav(src, desired_rate=SAMPLE_RATE)
+                from stt_tpu.data.audio import read_audio
+
+                audio, rate = read_audio(src, desired_rate=SAMPLE_RATE)
             except Exception:
                 counter["failed"] += 1
                 continue

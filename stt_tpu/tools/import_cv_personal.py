@@ -2,8 +2,8 @@
 bin/import_cv_personal.py).
 
 Layout: the per-user takeout: a TSV with original_sentence_id /
-sentence / locale columns and <id>.mp3 clips in --audio_dir. Clips must
-be pre-converted to wav beside the mp3 (no mp3 codec in this build).
+sentence / locale columns and <id>.mp3 clips in --audio_dir. mp3s
+decode in-process via libmpg123 (wavs cached beside the mp3s).
 Writes data.csv in the audio dir; --space_after_every_character supports
 CJK-style character targets like the reference.
 """
@@ -14,6 +14,7 @@ import csv
 import os
 
 from stt_tpu.tools.importers import (
+    ensure_wav,
     filter_sample,
     get_counter,
     get_importers_parser,
@@ -33,10 +34,9 @@ def convert_set(tsv_file: str, audio_dir: str, validate_label,
     missing = 0
     with open(tsv_file, newline="", encoding="utf-8") as f:
         for entry in csv.DictReader(f, delimiter="\t"):
-            wav = os.path.join(
-                audio_dir, entry["original_sentence_id"] + ".wav"
-            )
-            if not os.path.isfile(wav):
+            stem = os.path.join(audio_dir, entry["original_sentence_id"])
+            wav = stem + ".wav"
+            if not ensure_wav(stem + ".mp3", wav, SAMPLE_RATE):
                 missing += 1
                 counter["all"] += 1
                 counter["failed"] += 1
@@ -50,8 +50,8 @@ def convert_set(tsv_file: str, audio_dir: str, validate_label,
                 rows.append(row)
     if missing:
         print(
-            f"Warning: {missing} clips had no wav — pre-convert the mp3s "
-            "first (no mp3 codec in this build)."
+            f"Warning: {missing} clips could not be decoded "
+            "(missing mp3, or libmpg123 unavailable)."
         )
     print_import_report(counter, SAMPLE_RATE, MAX_SECS)
     output_csv = os.path.join(os.path.abspath(audio_dir), "data.csv")

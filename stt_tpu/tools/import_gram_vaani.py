@@ -4,8 +4,8 @@ Input: the GramVaani catalog CSV with (piece_id, audio_url,
 transcript_labelled, transcript, labels, content_filename, audio_length,
 user_id) columns. Audio files are downloaded per audio_url into
 --target_dir (skipped when already present — the zero-egress path is to
-pre-populate them) and must be pre-converted to 16 kHz wav with the same
-stem (the source mp3s need a codec this build lacks). Writes
+pre-populate them); mp3s decode in-process via libmpg123 to 16 kHz wavs
+with the same stem. Writes
 gram_vaani_{train,dev,test}.csv (80/10/10 contiguous).
 """
 
@@ -15,6 +15,7 @@ import csv
 import os
 
 from stt_tpu.tools.importers import (
+    ensure_wav,
     filter_sample,
     get_counter,
     get_importers_parser,
@@ -57,7 +58,7 @@ def preprocess_data(csv_filename: str, target_dir: str, validate_label,
             except Exception as e:
                 print(f"Warning: download failed for {name}: {e}")
         wav = os.path.splitext(mp3)[0] + ".wav"
-        if not os.path.isfile(wav):
+        if not ensure_wav(mp3, wav, SAMPLE_RATE):
             missing += 1
             counter["all"] += 1
             counter["failed"] += 1
@@ -69,8 +70,8 @@ def preprocess_data(csv_filename: str, target_dir: str, validate_label,
             rows.append(row)
     if missing:
         print(
-            f"Warning: {missing} clips had no wav — pre-convert the mp3s "
-            "first (no mp3 codec in this build)."
+            f"Warning: {missing} clips could not be decoded "
+            "(missing mp3, or libmpg123 unavailable)."
         )
     print_import_report(counter, SAMPLE_RATE, MAX_SECS)
 

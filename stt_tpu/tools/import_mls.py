@@ -3,11 +3,9 @@ bin/import_mls.py).
 
 Layout: mls_<language>[_opus]/{train,dev,test}/ each with
 audio/<speaker>/<book>/<id>.{flac,opus} and transcripts.txt
-("<id>\\t<transcript>"). The FLAC release converts to 16 kHz wav with the
-in-tree decoder; for the opus release this build has no codec, so rows
-are emitted against the .opus files with durations probed from the Ogg
-container (stt_tpu.data.ogg) for tooling/stats, and a warning is printed
-that training needs the flac release (or pre-converted wavs).
+("<id>\\t<transcript>"). Both releases convert to 16 kHz wav: FLAC via
+the in-tree decoder, Opus via the system libopus (falling back to
+container-probed rows with a warning when libopus is absent).
 
 Writes mls_<language>_{train,dev,test}.csv beside the corpus.
 """
@@ -48,18 +46,32 @@ def import_split(split_dir: str, wav_dir: str):
                     write_wav(wav, audio, SAMPLE_RATE)
                 rows.append((wav, os.path.getsize(wav), transcript))
             elif os.path.isfile(base + ".opus"):
-                opus_count += 1
-                probe_ogg_file(base + ".opus")  # validates the container
-                rows.append(
-                    (base + ".opus", os.path.getsize(base + ".opus"), transcript)
-                )
+                from stt_tpu.data.opus import opus_available
+
+                if opus_available():
+                    out = os.path.join(wav_dir, spk, book)
+                    os.makedirs(out, exist_ok=True)
+                    wav = os.path.join(out, seqid + ".wav")
+                    if not os.path.isfile(wav):
+                        audio, _ = read_audio(
+                            base + ".opus", desired_rate=SAMPLE_RATE
+                        )
+                        write_wav(wav, audio, SAMPLE_RATE)
+                    rows.append((wav, os.path.getsize(wav), transcript))
+                else:
+                    opus_count += 1
+                    probe_ogg_file(base + ".opus")  # validates the container
+                    rows.append(
+                        (base + ".opus", os.path.getsize(base + ".opus"),
+                         transcript)
+                    )
             else:
                 print(f"Warning: missing audio for {seqid}")
     if opus_count:
         print(
-            f"Warning: {opus_count} rows reference .opus files — no Opus "
-            "codec in this build; use the flac release (or pre-convert) "
-            "for training."
+            f"Warning: {opus_count} rows reference .opus files — libopus "
+            "is unavailable, so they were probed but not converted; "
+            "training needs wavs."
         )
     return rows
 

@@ -189,3 +189,26 @@ def validate_label_eng(label: str) -> Optional[str]:
         label = label.replace(ch, "")
     label = label.strip().lower()
     return label if label else None
+
+
+def ensure_wav(src_path: str, wav_path: str, rate: int = 16000) -> bool:
+    """Make sure a 16 kHz mono wav exists at wav_path, decoding src_path
+    (mp3/opus/flac/ogg/sph — whatever stt_tpu.data.audio handles) when
+    it does not. Returns True when the wav is present afterwards. The
+    reference importers shell out to sox/ffmpeg for this; here the
+    decode is in-process (libmpg123/libopus/in-tree decoders)."""
+    import os
+
+    if os.path.isfile(wav_path):
+        return True
+    if not os.path.isfile(src_path):
+        return False
+    from stt_tpu.data.audio import read_audio, write_wav
+
+    try:
+        audio, _ = read_audio(src_path, desired_rate=rate)
+    except (ValueError, RuntimeError):
+        return False
+    os.makedirs(os.path.dirname(wav_path) or ".", exist_ok=True)
+    write_wav(wav_path, audio, rate)
+    return True

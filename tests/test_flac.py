@@ -39,5 +39,5 @@ def test_flac_csv_source():
 def test_unsupported_format_message():
     from stt_tpu.data.audio import read_audio
 
-    with pytest.raises(ValueError, match="Opus codec"):
-        read_audio("x.opus")
+    with pytest.raises(ValueError, match="unsupported audio format"):
+        read_audio("x.aac")

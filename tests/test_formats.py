@@ -120,8 +120,10 @@ def test_read_audio_dispatch_ogg_and_sph(tmp_path, tone):
     assert rate == 16000
     np.testing.assert_allclose(audio, tone, atol=1 / 32768)
 
-    with pytest.raises(ValueError, match="Opus"):
-        read_audio(f"{SMOKE}/LDC93S1.opus")
+    # .opus now dispatches through libopus (tests/test_opus_mp3.py); an
+    # unknown extension still raises with the supported-format list
+    with pytest.raises(ValueError, match="unsupported audio format"):
+        read_audio(f"{SMOKE}/LDC93S1.aiff")
 
 
 def test_vorbis_stereo_44k():
