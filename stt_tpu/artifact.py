@@ -102,9 +102,21 @@ def save_artifact(
     params: Dict,
     metadata: dict,
     alphabet: Alphabet,
+    quantize: bool = False,
 ) -> str:
+    """quantize=True stores int8 weights + per-channel scales (~4x
+    smaller artifact) — the counterpart of the reference's quantized
+    TFLite export (export.py:126-150, Optimize.DEFAULT dynamic-range
+    quantization); load_artifact dequantizes transparently."""
     os.makedirs(out_dir, exist_ok=True)
-    np.savez(os.path.join(out_dir, "weights.npz"), **_flatten(params))
+    if quantize:
+        from stt_tpu.ops.quant import flatten_weight_only
+
+        metadata = dict(metadata, quantized=True)
+        flat = flatten_weight_only(params, n_cell=metadata["n_cell_dim"])
+        np.savez(os.path.join(out_dir, "weights.npz"), **flat)
+    else:
+        np.savez(os.path.join(out_dir, "weights.npz"), **_flatten(params))
     with open(os.path.join(out_dir, "metadata.json"), "w") as f:
         json.dump(metadata, f, indent=2)
     with open(os.path.join(out_dir, "alphabet.txt"), "w") as f:
@@ -143,7 +155,13 @@ def load_artifact(path: str) -> Tuple[Dict, dict, Alphabet]:
     if metadata.get("format") != "stt_tpu":
         raise ValueError(f"{path} is not an stt_tpu model artifact")
     npz = np.load(io.BytesIO(read("weights.npz")))
-    params = _unflatten({k: npz[k] for k in npz.files})
+    flat = {k: npz[k] for k in npz.files}
+    if metadata.get("quantized"):
+        from stt_tpu.ops.quant import dequantize_flat
+
+        params = dequantize_flat(flat)
+    else:
+        params = _unflatten(flat)
     if metadata.get("bytes_output_mode"):
         alphabet: Alphabet = UTF8Alphabet()
     else:

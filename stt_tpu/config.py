@@ -108,6 +108,9 @@ class SttConfig:
     # -- export ------------------------------------------------------------
     export_dir: str = ""
     export_zip: bool = False
+    # store int8 weights + per-channel scales in the artifact (~4x
+    # smaller; the reference's quantized-TFLite counterpart)
+    export_quantize: bool = False
     export_model_name: str = "model"
     export_author_id: str = ""
     export_model_version: str = "0.0.1"

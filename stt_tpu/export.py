@@ -44,7 +44,11 @@ def export(config: SttConfig) -> str:
         language=config.export_language,
     )
     out = save_artifact(
-        config.export_dir, jax.device_get(state.params), metadata, alphabet
+        config.export_dir,
+        jax.device_get(state.params),
+        metadata,
+        alphabet,
+        quantize=config.export_quantize,
     )
     write_model_card(config, metadata, out)
     log_info(f"Exported model artifact to {out}")

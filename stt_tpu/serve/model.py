@@ -61,7 +61,10 @@ class Metadata:
 
 
 class Model:
-    def __init__(self, model_path: str):
+    def __init__(self, model_path: str, quantized_inference: bool = False):
+        """quantized_inference=True runs batch forwards through the int8
+        MXU path (stt_tpu.ops.quant); streaming chunks stay float (they
+        are batch-1, 16-frame dispatches where int8 buys nothing)."""
         params, metadata, alphabet = load_artifact(model_path)
         self.metadata = metadata
         self.alphabet = alphabet
@@ -70,6 +73,11 @@ class Model:
         self._runtime = StreamingRuntime(
             params, self.model_config, self.feature_config, alphabet
         )
+        self._qparams = None
+        if quantized_inference:
+            from stt_tpu.ops.quant import quantize_params
+
+            self._qparams = quantize_params(params, self.model_config)
         self._beam_width = int(metadata.get("beam_width", 500))
         self._cutoff_prob = 1.0
         self._cutoff_top_n = 40
@@ -139,6 +147,29 @@ class Model:
         stream.feed_audio_content(audio)
         text = stream.finish_stream()
         return text, stream._state.probs_history
+
+    def infer_logits(self, features, lengths):
+        """Batched acoustic forward [B, T, n_mfcc] -> [B, T, n_out] f32
+        logits; routes through the int8 path when the model was opened
+        with quantized_inference=True."""
+        import jax.numpy as jnp
+
+        seq = jnp.asarray(lengths, jnp.int32)
+        feats = jnp.asarray(features, jnp.float32)
+        if self._qparams is not None:
+            from stt_tpu.ops.quant import apply_model_quantized
+
+            logits, _ = apply_model_quantized(
+                self._qparams, feats, seq_len=seq, config=self.model_config
+            )
+        else:
+            from stt_tpu.models import apply_model
+
+            logits, _ = apply_model(
+                self._runtime.params, feats, seq_len=seq,
+                config=self.model_config,
+            )
+        return logits
 
     def _to_metadata(self, results: List[DecodeResult]) -> Metadata:
         step_s = (

@@ -28,7 +28,6 @@ from stt_tpu.data.audio import read_wav
 from stt_tpu.data.vad import split_audio_file
 from stt_tpu.decode import ctc_beam_search_decoder_batch
 from stt_tpu.frontend import audio_to_mfcc_numpy
-from stt_tpu.models import apply_model
 
 
 def transcribe_file(
@@ -42,8 +41,6 @@ def transcribe_file(
     """One audio file -> list of {start, end, transcript} segments."""
     audio, rate = read_wav(audio_path, desired_rate=model.sample_rate())
     fc = model.feature_config
-    mc = model.model_config
-    params = model._runtime.params
     segments_out = []
     for batch in split_audio_file(
         audio, rate, batch_size=batch_size, aggressiveness=aggressiveness
@@ -55,9 +52,7 @@ def transcribe_file(
         for i, f in enumerate(feats):
             padded[i, : f.shape[0]] = f
             lengths[i] = f.shape[0]
-        logits, _ = apply_model(
-            params, padded, seq_len=lengths, config=mc
-        )
+        logits = model.infer_logits(padded, lengths)
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))
         decoded = ctc_beam_search_decoder_batch(
             list(probs),
