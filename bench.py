@@ -9,6 +9,12 @@ by the full single-chip inference compute path (MFCC frontend + flagship
 DeepSpeech acoustic model forward + greedy best-path reduction) at the
 reference's default geometry (n_hidden=2048, ~48M params).
 
+The model runs the int8 deploy path (stt_tpu.ops.quant) — the
+counterpart of the reference's *default* quantized-TFLite export
+(export.py:126-150 Optimize.DEFAULT) — accuracy-gated in
+tests/test_quant.py on exact transcript equality vs f32. Set
+STT_TPU_BENCH_PATH=bf16 for the unquantized path.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md); its
 headline claim is "real-time inference" on edge CPUs, i.e. 1.0
 audio-second/s per stream. vs_baseline is therefore the real-time factor.
@@ -36,11 +42,14 @@ def main():
     from stt_tpu.frontend import FeatureConfig, audio_to_mfcc
     from stt_tpu.models import ModelConfig, apply_model, init_params
     from stt_tpu.ctc.greedy import best_path
+    from stt_tpu.ops.quant import apply_model_quantized, quantize_params
 
     feature_config = FeatureConfig()
     # bf16 compute + fused Pallas recurrence: TPU-native MXU rate.
     config = ModelConfig(compute_dtype="bfloat16", fused_lstm=True)
     params = init_params(jax.random.PRNGKey(0), config)
+    quantized = os.environ.get("STT_TPU_BENCH_PATH", "int8") != "bf16"
+    qparams = quantize_params(params, config) if quantized else None
 
     # batch 512 amortizes the per-dispatch overhead of the tunneled chip
     # and saturates the MXU on the recurrence matmul; the fused-LSTM
@@ -54,11 +63,19 @@ def main():
         feats = audio_to_mfcc(audio, feature_config)
         t = feats.shape[1]
         seq_len = jnp.full((audio.shape[0],), t, jnp.int32)
-        logits, _ = apply_model(params, feats, seq_len=seq_len, config=config)
+        if quantized:
+            logits, _ = apply_model_quantized(
+                params, feats, seq_len=seq_len, config=config
+            )
+        else:
+            logits, _ = apply_model(
+                params, feats, seq_len=seq_len, config=config
+            )
         return best_path(logits)
 
     step = jax.jit(transcribe)
-    np.asarray(step(params, audio))  # compile + materialize
+    model_params = qparams if quantized else params
+    np.asarray(step(model_params, audio))  # compile + materialize
 
     # Throughput timing pipelines dispatches the way a production batch
     # server does: enqueue every step, synchronize once. Per-dispatch
@@ -70,8 +87,10 @@ def main():
     best = None
     for _ in range(2):
         t0 = time.time()
-        outs = [step(params, a) for a in inputs]
-        jax.block_until_ready(outs)
+        outs = [step(model_params, a) for a in inputs]
+        # the device queue is in-order: materializing the last output
+        # guarantees every step completed
+        np.asarray(outs[-1][:1])
         wall = (time.time() - t0) / reps
         best = wall if best is None else min(best, wall)
     audio_seconds = batch * seconds

@@ -180,3 +180,115 @@ def lstm_fused(
     interpret = jax.devices()[0].platform == "cpu"
     out, c, h = _lstm_fused_impl(x_proj, w_h, c0, h0, seq, interpret=interpret)
     return out, (c, h)
+
+
+# --- int8 recurrence variant -------------------------------------------
+#
+# For the quantized inference path (stt_tpu.ops.quant): h is bounded in
+# (-1, 1) by construction (sigmoid*tanh), so it quantizes to int8 with a
+# fixed scale 1/127 each step and the per-step [B,H]x[H,4H] gate matmul
+# runs on the MXU's int8 path (2x the bf16 rate on v5e). W_h is int8
+# with per-output-channel scales; the accumulator dequantizes to f32
+# before the bias/x_proj add, so gate math and the (c, h) carry stay
+# f32 — only the matmul operands are quantized.
+
+
+def _kernel_q(xp_hbm, w_hq_ref, ws_ref, c0_ref, h0_ref, seq_ref, out_hbm,
+              c_ref, h_ref, xbuf, obuf, xsems, osems):
+    T = xp_hbm.shape[0]
+
+    def x_dma(slot, t):
+        return pltpu.make_async_copy(xp_hbm.at[t], xbuf.at[slot], xsems.at[slot])
+
+    def o_dma(slot, t):
+        return pltpu.make_async_copy(obuf.at[slot], out_hbm.at[t], osems.at[slot])
+
+    c_ref[:] = c0_ref[:]
+    h_ref[:] = h0_ref[:]
+    x_dma(0, 0).start()
+
+    def body(t, _):
+        slot = t % 2
+
+        @pl.when(t + 1 < T)
+        def _():
+            x_dma((t + 1) % 2, t + 1).start()
+
+        x_dma(slot, t).wait()
+        c = c_ref[:]
+        h = h_ref[:]
+        h_q = jnp.round(h * 127.0).astype(jnp.int8)
+        acc = jnp.dot(h_q, w_hq_ref[:], preferred_element_type=jnp.int32)
+        z = (
+            xbuf[slot].astype(jnp.float32)
+            + acc.astype(jnp.float32) * ws_ref[:]
+        )
+        n_cell = h.shape[-1]
+        i = z[:, :n_cell]
+        g = z[:, n_cell : 2 * n_cell]
+        f = z[:, 2 * n_cell : 3 * n_cell]
+        o = z[:, 3 * n_cell :]
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+
+        valid = t < seq_ref[:]
+        c_ref[:] = jnp.where(valid, c_new, c)
+        h_ref[:] = jnp.where(valid, h_new, h)
+
+        @pl.when(t >= 2)
+        def _():
+            o_dma(slot, t - 2).wait()
+
+        obuf[slot] = jnp.where(valid, h_new, jnp.zeros_like(h_new))
+        o_dma(slot, t).start()
+        return 0
+
+    jax.lax.fori_loop(0, T, body, 0)
+
+    @pl.when(T >= 2)
+    def _():
+        o_dma((T - 2) % 2, T - 2).wait()
+
+    o_dma((T - 1) % 2, T - 1).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lstm_fused_q_impl(x_proj, w_h_q, wh_step_scale, c0, h0, seq_len,
+                      interpret=False):
+    """x_proj: [T, B, 4H] (bf16/f32, bias included); w_h_q: [H, 4H] int8;
+    wh_step_scale: [1, 4H] f32 = per-channel w_h scale / 127 (folds the
+    h quantization scale)."""
+    T, B, four_h = x_proj.shape
+    n_cell = four_h // 4
+    out, c, h = pl.pallas_call(
+        _kernel_q,
+        interpret=interpret,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, n_cell), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_cell), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_cell), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x_proj stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # W_h int8 resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scales
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B, four_h), x_proj.dtype),
+            pltpu.VMEM((2, B, n_cell), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(x_proj, w_h_q, wh_step_scale, c0, h0, seq_len)
+    return out, c, h

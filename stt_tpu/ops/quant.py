@@ -98,10 +98,17 @@ def quantize_params(
         )
 
     # LSTM kernel splits into input projection (quantized) and the
-    # recurrent half (stays bf16 inside the fused kernel / scan)
+    # recurrent half. The recurrence also quantizes: h is bounded in
+    # (-1, 1), so inside the fused kernel h_q = round(h*127) int8 and
+    # the per-step matmul runs int8; step_scale folds w_h's per-channel
+    # scale with the 1/127 h scale. The lax.scan fallback (CPU) uses the
+    # dequantized w_h so both paths share semantics.
     n_in = params["lstm"]["kernel"].shape[1] // 4  # n_cell == n_in here
-    w_x = params["lstm"]["kernel"][: params["lstm"]["kernel"].shape[0] - n_in]
+    kernel = params["lstm"]["kernel"]
+    w_x = kernel[: kernel.shape[0] - n_in]
+    w_h = kernel[kernel.shape[0] - n_in :]
     wx_q, wx_scale = _quantize_weight(w_x)
+    wh_q, wh_scale = _quantize_weight(w_h)
 
     return {
         "layer_1": qdense("layer_1", in_scale),
@@ -113,7 +120,11 @@ def quantize_params(
             b=jnp.asarray(params["lstm"]["bias"], jnp.float32),
             x_scale=clip_scale,
         ),
-        "lstm": params["lstm"],  # recurrence half used by the kernel
+        "lstm": params["lstm"],  # full kernel (scan fallback)
+        "lstm_rec": {
+            "w_h_q": wh_q,
+            "step_scale": (wh_scale / 127.0).reshape(1, -1),
+        },
         "layer_5": qdense("layer_5", h_scale),
         "layer_6": qdense("layer_6", clip_scale),
     }
@@ -171,11 +182,8 @@ def apply_model_quantized(
         from stt_tpu.ops.lstm_kernel import fused_lstm_supported
 
         use_fused = fused_lstm_supported(b, n_cell, config.dtype)
-    w_h = qparams["lstm"]["kernel"][
-        qparams["lstm"]["kernel"].shape[0] - n_cell :
-    ].astype(config.dtype)
     if use_fused:
-        from stt_tpu.ops.lstm_kernel import _lstm_fused_impl
+        from stt_tpu.ops.lstm_kernel import lstm_fused_q_impl
 
         store_dtype = (
             jnp.float32 if config.dtype == jnp.float32 else config.dtype
@@ -186,13 +194,24 @@ def apply_model_quantized(
             else seq_len.astype(jnp.int32).reshape(b, 1)
         )
         interpret = jax.devices()[0].platform == "cpu"
-        outputs, c, h = _lstm_fused_impl(
-            x_proj.astype(store_dtype), w_h, c0, h0, seq, interpret=interpret
+        outputs, c, h = lstm_fused_q_impl(
+            x_proj.astype(store_dtype),
+            qparams["lstm_rec"]["w_h_q"],
+            qparams["lstm_rec"]["step_scale"],
+            c0,
+            h0,
+            seq,
+            interpret=interpret,
         )
         state = (c, h)
     else:
         outputs, state = _lstm_recurrence_scan(
-            x_proj, w_h, c0, h0, seq_len, config.dtype
+            x_proj,
+            qparams["lstm_rec"]["w_h_q"],
+            qparams["lstm_rec"]["step_scale"],
+            c0,
+            h0,
+            seq_len,
         )
     x = outputs.transpose(1, 0, 2).reshape(b * t, -1)
 
@@ -201,17 +220,18 @@ def apply_model_quantized(
     return logits.reshape(b, t, config.n_out).astype(jnp.float32), state
 
 
-def _lstm_recurrence_scan(x_proj, w_h, c0, h0, seq_len, dtype):
+def _lstm_recurrence_scan(x_proj, w_h_q, step_scale, c0, h0, seq_len):
     """Recurrence-only scan over a precomputed (biased) input projection —
-    the lax.scan twin of the fused kernel, used on hosts/CPU."""
+    the lax.scan twin of the int8 fused kernel (same quantization of h
+    and w_h each step, so CPU and TPU paths produce the same numbers)."""
     T = x_proj.shape[0]
 
     def step(carry, inp):
         c, h = carry
         xp_t, t = inp
-        z = xp_t + jnp.matmul(
-            h.astype(dtype), w_h, preferred_element_type=jnp.float32
-        )
+        h_q = jnp.round(h * 127.0).astype(jnp.int8)
+        acc = jnp.matmul(h_q, w_h_q, preferred_element_type=jnp.int32)
+        z = xp_t.astype(jnp.float32) + acc.astype(jnp.float32) * step_scale
         i, g, f, o = jnp.split(z, 4, axis=-1)
         c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)

@@ -71,3 +71,44 @@ def test_apply_model_fused_flag_matches():
     b, _ = apply_model(params, feats, seq_len=seq, config=cfg_fused)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_fused_q_matches_scan_within_quantization_error():
+    """int8-recurrence kernel (quantized inference path): h quantizes to
+    1/127 per step, so outputs track the f32 scan within the accumulated
+    quantization budget while staying well-shaped (masking, state carry)."""
+    from stt_tpu.ops.lstm_kernel import lstm_fused_q_impl
+    from stt_tpu.ops.quant import _quantize_weight
+
+    rng = np.random.RandomState(2)
+    T, B, H = 6, 8, 128
+    params = lstm_init(jax.random.PRNGKey(2), H, H)
+    x = jnp.asarray(rng.randn(T, B, H).astype(np.float32) * 0.1)
+    seq = jnp.asarray([3, 4, 5, 6, 6, 6, 2, 1], jnp.int32)
+    ref_out, (ref_c, ref_h) = lstm_scan(
+        params, x, seq_len=seq, compute_dtype=jnp.float32
+    )
+
+    # same x_proj precompute as the quantized model path (f32 here)
+    w_x = params["kernel"][:H]
+    w_h = params["kernel"][H:]
+    x_proj = (
+        jnp.einsum("tbi,ij->tbj", x, w_x) + params["bias"]
+    ).astype(jnp.float32)
+    wh_q, wh_scale = _quantize_weight(w_h)
+    out, c, h = lstm_fused_q_impl(
+        x_proj,
+        wh_q,
+        (wh_scale / 127.0).reshape(1, -1),
+        jnp.zeros((B, H), jnp.float32),
+        jnp.zeros((B, H), jnp.float32),
+        seq.reshape(B, 1),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(ref_c), atol=0.1)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(ref_h), atol=0.05)
+    # masking semantics identical: zero outputs past seq_len
+    for b_i, L in enumerate([3, 4, 5, 6, 6, 6, 2, 1]):
+        assert np.all(np.asarray(out)[L:, b_i] == 0.0)
