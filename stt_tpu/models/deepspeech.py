@@ -171,12 +171,33 @@ def apply_model(
     # LSTM is time-major: [T, B, n_cell]
     x = x.reshape(b, t, -1).transpose(1, 0, 2)
     use_fused = config.fused_lstm and dropout_rng is None
+    use_fused_train = config.fused_lstm and dropout_rng is not None
     if use_fused:
         from stt_tpu.ops import fused_lstm_supported, lstm_fused
 
         use_fused = fused_lstm_supported(b, config.n_cell_dim, config.dtype)
+    if use_fused_train:
+        # differentiable Pallas fwd+bwd (custom_vjp) — avoids autodiff's
+        # per-step dW_h carry; interpret mode on CPU is too slow, keep
+        # the scan there
+        from stt_tpu.ops.lstm_train import fused_lstm_train_supported
+
+        use_fused_train = (
+            fused_lstm_train_supported(b, config.n_cell_dim, config.dtype)
+            and jax.devices()[0].platform != "cpu"
+        )
     if use_fused:
         outputs, state = lstm_fused(
+            params["lstm"],
+            x,
+            seq_len=seq_len,
+            initial_state=previous_state,
+            compute_dtype=config.dtype,
+        )
+    elif use_fused_train:
+        from stt_tpu.ops.lstm_train import lstm_train
+
+        outputs, state = lstm_train(
             params["lstm"],
             x,
             seq_len=seq_len,

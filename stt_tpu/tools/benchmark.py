@@ -105,7 +105,9 @@ def bench_train_step(batch: int, seconds: float) -> dict:
     from stt_tpu.train import Batch, create_train_state, make_train_step
     from stt_tpu.train.step import create_optimizer
 
-    config = ModelConfig(compute_dtype="bfloat16")
+    # fused_lstm routes training through the Pallas fwd+bwd custom_vjp
+    # (stt_tpu.ops.lstm_train) on TPU; scan elsewhere
+    config = ModelConfig(compute_dtype="bfloat16", fused_lstm=True)
     optimizer = create_optimizer()
     state = create_train_state(jax.random.PRNGKey(0), config, optimizer)
     train_step = make_train_step(config, optimizer)
