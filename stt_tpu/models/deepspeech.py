@@ -175,7 +175,14 @@ def apply_model(
     if use_fused:
         from stt_tpu.ops import fused_lstm_supported, lstm_fused
 
-        use_fused = fused_lstm_supported(b, config.n_cell_dim, config.dtype)
+        # pallas_call has no GSPMD partitioning rule: engage the fused
+        # kernels only in single-device programs (multi-chip runs use
+        # the scan, which XLA shards; a shard_map wrapper is the path
+        # to fused-kernel multi-chip)
+        use_fused = (
+            fused_lstm_supported(b, config.n_cell_dim, config.dtype)
+            and jax.device_count() == 1
+        )
     if use_fused_train:
         # differentiable Pallas fwd+bwd (custom_vjp) — avoids autodiff's
         # per-step dW_h carry; interpret mode on CPU is too slow, keep
@@ -185,6 +192,7 @@ def apply_model(
         use_fused_train = (
             fused_lstm_train_supported(b, config.n_cell_dim, config.dtype)
             and jax.devices()[0].platform != "cpu"
+            and jax.device_count() == 1
         )
     if use_fused:
         outputs, state = lstm_fused(

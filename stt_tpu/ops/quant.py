@@ -181,7 +181,11 @@ def apply_model_quantized(
     if use_fused:
         from stt_tpu.ops.lstm_kernel import fused_lstm_supported
 
-        use_fused = fused_lstm_supported(b, n_cell, config.dtype)
+        # pallas_call has no GSPMD partitioning rule: single-device only
+        use_fused = (
+            fused_lstm_supported(b, n_cell, config.dtype)
+            and jax.device_count() == 1
+        )
     if use_fused:
         from stt_tpu.ops.lstm_kernel import lstm_fused_q_impl
 
