@@ -43,6 +43,10 @@ class ModelConfig:
     # inference-only Pallas recurrence with W_h resident in VMEM; falls
     # back to the lax.scan when shapes don't qualify or when training
     fused_lstm: bool = False
+    # inside shard_map each device sees a single-device program, so the
+    # per-device fused kernels are safe even on a multi-device mesh;
+    # the shard_map train step sets this to skip the device_count gate
+    force_fused: bool = False
 
     @property
     def window_width(self) -> int:
@@ -179,10 +183,9 @@ def apply_model(
         # kernels only in single-device programs (multi-chip runs use
         # the scan, which XLA shards; a shard_map wrapper is the path
         # to fused-kernel multi-chip)
-        use_fused = (
-            fused_lstm_supported(b, config.n_cell_dim, config.dtype)
-            and jax.device_count() == 1
-        )
+        use_fused = fused_lstm_supported(
+            b, config.n_cell_dim, config.dtype
+        ) and (config.force_fused or jax.device_count() == 1)
     if use_fused_train:
         # differentiable Pallas fwd+bwd (custom_vjp) — avoids autodiff's
         # per-step dW_h carry; interpret mode on CPU is too slow, keep
@@ -192,7 +195,7 @@ def apply_model(
         use_fused_train = (
             fused_lstm_train_supported(b, config.n_cell_dim, config.dtype)
             and jax.devices()[0].platform != "cpu"
-            and jax.device_count() == 1
+            and (config.force_fused or jax.device_count() == 1)
         )
     if use_fused:
         outputs, state = lstm_fused(

@@ -4,6 +4,7 @@ from stt_tpu.train.step import (
     create_train_state,
     make_eval_step,
     make_train_step,
+    make_train_step_dp,
 )
 
 __all__ = [
@@ -11,5 +12,6 @@ __all__ = [
     "TrainState",
     "create_train_state",
     "make_train_step",
+    "make_train_step_dp",
     "make_eval_step",
 ]

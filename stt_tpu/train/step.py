@@ -123,3 +123,63 @@ def make_eval_step(config: ModelConfig):
         return losses, logits
 
     return jax.jit(eval_step)
+
+
+def make_train_step_dp(
+    config: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+):
+    """Explicit data-parallel train step as a shard_map over the mesh's
+    'data' axis.
+
+    Differences from make_train_step (GSPMD auto-sharding):
+    - each device traces a plain single-device program over its local
+      batch shard, so the fused Pallas LSTM kernels engage on multi-chip
+      meshes (pallas_call has no GSPMD partitioning rule);
+    - gradients are pmean'ed over 'data' explicitly — the TPU-native
+      version of the reference's tower-gradient mean (train.py:201-235),
+      riding ICI instead of a CPU parameter server;
+    - the loss is the mean of per-shard means (tower semantics). Dropout
+      folds in the device's axis index so shards draw independent masks.
+
+    Use when the mesh is pure data-parallel; tensor parallelism ('model'
+    axis sharding) stays on the GSPMD step.
+    """
+    import dataclasses as _dataclasses
+
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    local_config = _dataclasses.replace(config, force_fused=True)
+
+    def local_step(state: TrainState, batch: Batch, rng: jax.Array):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        dropout_rng = jax.random.fold_in(
+            dropout_rng, jax.lax.axis_index("data")
+        )
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (loss, (losses, finite)), grads = grad_fn(
+            state.params, batch, dropout_rng, local_config
+        )
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, params, opt_state)
+        return new_state, StepMetrics(loss, losses, ~finite, grad_norm)
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P()),
+        out_specs=(
+            P(),
+            StepMetrics(P(), P("data"), P("data"), P()),
+        ),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
