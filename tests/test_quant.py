@@ -112,3 +112,23 @@ def test_quantized_artifact_round_trip(trained_smoke, tmp_path):
     seq = jnp.asarray([feats.shape[1]], jnp.int32)
     logits, _ = apply_model(qparams, feats, seq_len=seq, config=config)
     assert _decode(qalpha, logits, np.asarray(seq)) == SMOKE_TRANSCRIPT
+
+
+def test_serve_model_quantized_inference(trained_smoke, tmp_path):
+    """serve.Model(quantized_inference=True): infer_logits routes through
+    the int8 path and still yields the exact smoke transcript."""
+    from stt_tpu.artifact import build_metadata, save_artifact
+    from stt_tpu.serve import Model
+
+    params, config, feature_config, alphabet, audio = trained_smoke
+    metadata = build_metadata(config, feature_config, alphabet)
+    d = str(tmp_path / "model")
+    save_artifact(d, params, metadata, alphabet)
+
+    model = Model(d, quantized_inference=True)
+    feats = audio_to_mfcc(jnp.asarray(audio)[None], feature_config)
+    lengths = np.asarray([feats.shape[1]], np.int32)
+    logits = model.infer_logits(np.asarray(feats), lengths)
+    assert _decode(model.alphabet, logits, lengths) == SMOKE_TRANSCRIPT
+    # streaming (float path) still works on the same instance
+    assert model.stt(audio) == SMOKE_TRANSCRIPT
