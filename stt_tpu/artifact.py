@@ -179,6 +179,7 @@ def model_config_from_metadata(metadata: dict) -> ModelConfig:
         relu_clip=metadata["relu_clip"],
         layer_norm=metadata["layer_norm"],
         dropout_rates=(0.0,) * 6,
+        fused_lstm=True,  # gated off automatically where unsupported
     )
 
 

@@ -120,6 +120,10 @@ class SttConfig:
     # -- distribution ------------------------------------------------------
     n_model_parallel: int = 1
     compute_dtype: str = "float32"  # bfloat16 for full-rate MXU training
+    # fused Pallas LSTM kernels (inference + training); safe to leave on:
+    # unsupported shapes, CPU hosts, and multi-device GSPMD programs fall
+    # back to the lax.scan automatically
+    fused_lstm: bool = True
 
     # -- misc --------------------------------------------------------------
     log_level: int = 1
@@ -196,6 +200,7 @@ class SttConfig:
             layer_norm=self.layer_norm,
             dropout_rates=rates,
             compute_dtype=self.compute_dtype,
+            fused_lstm=self.fused_lstm,
         )
 
     def to_dict(self) -> dict:

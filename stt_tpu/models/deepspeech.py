@@ -183,9 +183,11 @@ def apply_model(
         # kernels only in single-device programs (multi-chip runs use
         # the scan, which XLA shards; a shard_map wrapper is the path
         # to fused-kernel multi-chip)
-        use_fused = fused_lstm_supported(
-            b, config.n_cell_dim, config.dtype
-        ) and (config.force_fused or jax.device_count() == 1)
+        use_fused = (
+            fused_lstm_supported(b, config.n_cell_dim, config.dtype)
+            and jax.devices()[0].platform != "cpu"
+            and (config.force_fused or jax.device_count() == 1)
+        )
     if use_fused_train:
         # differentiable Pallas fwd+bwd (custom_vjp) — avoids autodiff's
         # per-step dW_h carry; interpret mode on CPU is too slow, keep
