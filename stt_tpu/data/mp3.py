@@ -122,7 +122,10 @@ def read_mp3(path: str) -> Tuple[np.ndarray, int]:
             if rc == _MPG123_DONE:
                 break
             if rc not in (_MPG123_OK, _MPG123_NEW_FORMAT):
-                break
+                lib.mpg123_close(h)
+                raise RuntimeError(
+                    f"mp3 decode error (mpg123 rc={rc}): {path}"
+                )
         lib.mpg123_close(h)
     finally:
         lib.mpg123_delete(h)

@@ -201,9 +201,14 @@ def read_ogg_opus(data: bytes) -> Tuple[np.ndarray, int]:
             decoder = OpusDecoder(48000, channels)
             n_header_packets = 1
             continue
-        if n_header_packets == 1:  # OpusTags
+        if n_header_packets == 1:
+            # RFC 7845 §5: the comment header is identified by its
+            # 'OpusTags' magic, not by position — a zero-length packet or
+            # a tags header spanning several ogg packets must not shift
+            # audio packets into the header slot (or vice versa).
+            if packet.startswith(b"OpusTags") or not packet:
+                continue
             n_header_packets = 2
-            continue
         if not packet:
             continue
         chunks.append(decoder.decode(packet))

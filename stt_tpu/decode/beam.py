@@ -339,90 +339,123 @@ class DecoderState:
     def next(self, probs: np.ndarray) -> None:
         """Advance over a [T, C] chunk of softmax probabilities."""
         probs = np.asarray(probs)
-        scorer = self.scorer
-        beam_size = self.beam_size
         for rel_t in range(probs.shape[0]):
             prob = probs[rel_t]
-            if prob[self.blank_id] < 0.999:
-                self.start_expanding = True
-            if not self.start_expanding:
-                self.abs_time_step += 1
-                continue
+            self._step(
+                self._pruned_emissions(prob), float(prob[self.blank_id])
+            )
 
-            min_cutoff = NEG_INF
-            full_beam = False
-            if scorer is not None:
-                self.prefixes.sort(key=lambda p: (-p.score, p.character))
-                num_prefixes = min(len(self.prefixes), beam_size)
-                min_cutoff = (
-                    self.prefixes[num_prefixes - 1].score
-                    + math.log(prob[self.blank_id] + _FLT_MIN)
-                    - max(0.0, scorer.beta)
-                )
-                full_beam = num_prefixes == beam_size
-            trie = scorer.dictionary if scorer is not None else None
+    def next_pruned(
+        self,
+        indices: np.ndarray,
+        logps: np.ndarray,
+        counts: np.ndarray,
+        blank_probs: np.ndarray,
+    ) -> None:
+        """Advance over device-pruned emissions (decode/device.py
+        prune_emissions): per frame the top-k candidate (class, logp)
+        pairs sorted by descending probability, the number of valid
+        candidates, and the raw blank probability (for the expansion
+        gate and the scorer min_cutoff). Host work per frame is
+        O(count x beam), independent of the alphabet size."""
+        indices = np.asarray(indices)
+        logps = np.asarray(logps)
+        counts = np.asarray(counts)
+        blank_probs = np.asarray(blank_probs)
+        for rel_t in range(indices.shape[0]):
+            n = int(counts[rel_t])
+            pruned = [
+                (int(indices[rel_t, k]), float(logps[rel_t, k]))
+                for k in range(n)
+            ]
+            self._step(pruned, float(blank_probs[rel_t]))
 
-            for c, log_prob_c in self._pruned_emissions(prob):
-                # `c` is the AM token (blank test); `scorer_c` is the prefix
-                # label (identity except in the wav2vec2 variant, cpp:150)
-                scorer_c = self._to_scorer_token(c)
-                for prefix in self.prefixes[:beam_size]:
-                    if full_beam and log_prob_c + prefix.score < min_cutoff:
-                        break
-                    if prefix.score == NEG_INF:
-                        continue
+    def _step(
+        self, pruned: List[Tuple[int, float]], blank_prob: float
+    ) -> None:
+        """One frame of expansion given pruned (class, logp) candidates."""
+        scorer = self.scorer
+        beam_size = self.beam_size
+        if blank_prob < 0.999:
+            self.start_expanding = True
+        if not self.start_expanding:
+            self.abs_time_step += 1
+            return
 
-                    if c == self.blank_id:
-                        log_p = log_prob_c + prefix.score
-                        if prefix.log_prob_nb_cur < log_p:
-                            prefix.previous_timesteps = None
-                        prefix.log_prob_b_cur = _lse(prefix.log_prob_b_cur, log_p)
-                        continue
+        min_cutoff = NEG_INF
+        full_beam = False
+        if scorer is not None:
+            self.prefixes.sort(key=lambda p: (-p.score, p.character))
+            num_prefixes = min(len(self.prefixes), beam_size)
+            min_cutoff = (
+                self.prefixes[num_prefixes - 1].score
+                + math.log(blank_prob + _FLT_MIN)
+                - max(0.0, scorer.beta)
+            )
+            full_beam = num_prefixes == beam_size
+        trie = scorer.dictionary if scorer is not None else None
 
-                    if scorer_c == prefix.character:
-                        log_p = log_prob_c + prefix.log_prob_nb_prev
-                        if prefix.log_prob_nb_cur < log_p:
-                            prefix.previous_timesteps = None
-                        prefix.log_prob_nb_cur = _lse(
-                            prefix.log_prob_nb_cur, log_p
-                        )
+        for c, log_prob_c in pruned:
+            # `c` is the AM token (blank test); `scorer_c` is the prefix
+            # label (identity except in the wav2vec2 variant, cpp:150)
+            scorer_c = self._to_scorer_token(c)
+            for prefix in self.prefixes[:beam_size]:
+                if full_beam and log_prob_c + prefix.score < min_cutoff:
+                    break
+                if prefix.score == NEG_INF:
+                    continue
 
-                    new_prefix = prefix.get_child(scorer_c, trie)
-                    if new_prefix is None:
-                        continue
+                if c == self.blank_id:
+                    log_p = log_prob_c + prefix.score
+                    if prefix.log_prob_nb_cur < log_p:
+                        prefix.previous_timesteps = None
+                    prefix.log_prob_b_cur = _lse(prefix.log_prob_b_cur, log_p)
+                    continue
 
-                    log_p = NEG_INF
-                    if (
-                        scorer_c == prefix.character
-                        and prefix.log_prob_b_prev != NEG_INF
-                    ):
-                        log_p = log_prob_c + prefix.log_prob_b_prev
-                    elif scorer_c != prefix.character:
-                        log_p = log_prob_c + prefix.score
-
-                    if scorer is not None:
-                        to_score = (
-                            new_prefix if scorer.is_utf8_mode() else prefix
-                        )
-                        if self._is_scoring_boundary(to_score, scorer_c):
-                            log_p += self._lm_score(to_score)
-
-                    if new_prefix.log_prob_nb_cur < log_p:
-                        new_prefix.previous_timesteps = prefix.timesteps
-                        new_prefix.new_timestep = self.abs_time_step
-                    new_prefix.log_prob_nb_cur = _lse(
-                        new_prefix.log_prob_nb_cur, log_p
+                if scorer_c == prefix.character:
+                    log_p = log_prob_c + prefix.log_prob_nb_prev
+                    if prefix.log_prob_nb_cur < log_p:
+                        prefix.previous_timesteps = None
+                    prefix.log_prob_nb_cur = _lse(
+                        prefix.log_prob_nb_cur, log_p
                     )
 
-            self.prefixes = []
-            self.root.iterate_to_vec(self.prefixes)
-            if len(self.prefixes) > beam_size:
-                self.prefixes.sort(key=lambda p: (-p.score, p.character))
-                for p in self.prefixes[beam_size:]:
-                    p.remove()
-                self.prefixes = self.prefixes[:beam_size]
+                new_prefix = prefix.get_child(scorer_c, trie)
+                if new_prefix is None:
+                    continue
 
-            self.abs_time_step += 1
+                log_p = NEG_INF
+                if (
+                    scorer_c == prefix.character
+                    and prefix.log_prob_b_prev != NEG_INF
+                ):
+                    log_p = log_prob_c + prefix.log_prob_b_prev
+                elif scorer_c != prefix.character:
+                    log_p = log_prob_c + prefix.score
+
+                if scorer is not None:
+                    to_score = (
+                        new_prefix if scorer.is_utf8_mode() else prefix
+                    )
+                    if self._is_scoring_boundary(to_score, scorer_c):
+                        log_p += self._lm_score(to_score)
+
+                if new_prefix.log_prob_nb_cur < log_p:
+                    new_prefix.previous_timesteps = prefix.timesteps
+                    new_prefix.new_timestep = self.abs_time_step
+                new_prefix.log_prob_nb_cur = _lse(
+                    new_prefix.log_prob_nb_cur, log_p
+                )
+
+        self.prefixes = []
+        self.root.iterate_to_vec(self.prefixes)
+        if len(self.prefixes) > beam_size:
+            self.prefixes.sort(key=lambda p: (-p.score, p.character))
+            for p in self.prefixes[beam_size:]:
+                p.remove()
+            self.prefixes = self.prefixes[:beam_size]
+
+        self.abs_time_step += 1
 
     def decode(self, num_results: int = 1) -> List[DecodeResult]:
         """Non-destructive best-hypotheses extraction with trailing partial

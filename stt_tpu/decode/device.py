@@ -1,0 +1,401 @@
+"""On-device CTC beam expansion/prune — the TPU-side decode path.
+
+The reference decodes entirely on the host CPU
+(ctcdecode/ctc_beam_search_decoder.cpp); its per-frame work scales with
+n_alphabet x beam and the full [T, B, C] probability tensor crosses to
+the host. This module moves the per-frame math onto the TPU:
+
+1. ``prune_emissions`` — the device twin of the reference's
+   ``get_pruned_emissions`` (ctc_beam_search_decoder.cpp:328-358):
+   per-frame top-k + cumulative cutoff_prob mass, computed where the
+   probabilities already live, so only [T, K] (indices, logp) plus the
+   per-frame blank probability cross to the host. Host decoders consume
+   it via ``DecoderState.next_pruned`` (Python oracle and native C++).
+
+2. ``device_beam_search`` — the full per-frame beam expansion/prune as
+   one jitted program (lax.scan over time, vmap over the batch) for the
+   no-LM path. Beam prefixes live on device as fixed-width slot arrays
+   (log p_blank / log p_nonblank, last label, parent slot); each frame
+   expands every (slot, label) pair, merges the repeat / blank / extend
+   cases exactly like the host oracle (decode/beam.py, which mirrors
+   ctc_beam_search_decoder.cpp:112-274), and selects the top `beam`
+   candidates with ``lax.top_k``. Only a [T, W] int32 backpointer table
+   leaves the device; the host rebuilds strings/timesteps by walking it
+   — host work is O(T + tokens), independent of n_alphabet.
+
+Known, deliberate divergences from the host oracle (tested):
+- arithmetic is f32 on device vs f64 on the host: transcripts/tokens/
+  timesteps match exactly on test fixtures, confidences to ~1e-3;
+- when a slot's parent prefix is pruned from the beam and the same
+  parent string later re-enters, a re-extension creates a duplicate
+  slot instead of merging (the host trie merges). Vanishingly rare at
+  practical beam widths; the equivalence tests cover real smoke data.
+- score ties are broken by slot order (previous frame's rank) rather
+  than the oracle's (-score, character) sort key.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stt_tpu.alphabet import Alphabet
+from stt_tpu.decode.beam import DecodeResult
+
+NEG_INF = -jnp.inf
+_FLT_MIN = 1.1754944e-38  # NUM_FLT_MIN log floor, decoder_utils.h
+
+
+def _lse(a, b):
+    return jnp.logaddexp(a, b)
+
+
+# --------------------------------------------------------------------------
+# Stage 1: on-device emission pruning
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff_top_n", "cutoff_prob"))
+def _prune_frame_sorted(probs, cutoff_top_n: int, cutoff_prob: float):
+    """probs [..., C] -> (idx [..., K], logp [..., K], count [...])."""
+    c = probs.shape[-1]
+    k = min(cutoff_top_n, c)
+    vals, idx = jax.lax.top_k(probs, k)
+    if cutoff_prob < 1.0:
+        cum = jnp.cumsum(vals, axis=-1)
+        pos = jnp.arange(1, k + 1)
+        trigger = (cum >= cutoff_prob) | (pos >= cutoff_top_n)
+        count = jnp.where(
+            jnp.any(trigger, axis=-1),
+            jnp.argmax(trigger, axis=-1) + 1,
+            k,
+        )
+    else:
+        count = jnp.full(probs.shape[:-1], k, jnp.int32)
+    logp = jnp.log(vals + _FLT_MIN)
+    return idx.astype(jnp.int32), logp, count.astype(jnp.int32)
+
+
+def prune_emissions(
+    probs, cutoff_top_n: int = 40, cutoff_prob: float = 1.0
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Device twin of get_pruned_emissions (cpp:328-358) over [..., T, C].
+
+    Returns (indices [..., T, K], logp [..., T, K], counts [..., T],
+    blank_prob [..., T]) with K = min(cutoff_top_n, C). Candidates are
+    sorted by descending probability; counts follow the reference's
+    cumulative-mass rule when cutoff_prob < 1. One divergence by design:
+    the reference only truncates when cutoff_prob < 1 (top_n alone keeps
+    all classes, merely sorted); here cutoff_top_n always bounds the
+    transfer — that is the knob's point on a remote-attached chip.
+    """
+    probs = jnp.asarray(probs)
+    idx, logp, count = _prune_frame_sorted(probs, int(cutoff_top_n),
+                                           float(cutoff_prob))
+    blank_prob = probs[..., -1]
+    return idx, logp, count, blank_prob
+
+
+# --------------------------------------------------------------------------
+# Stage 2: full on-device beam search (no-LM path)
+# --------------------------------------------------------------------------
+
+_KEEP = -1  # bp_char value meaning "same prefix as bp_src one frame back"
+
+
+def _beam_step(state, inp, *, beam: int, n_class: int,
+               cutoff_top_n: int, cutoff_prob: float):
+    """One frame of CTC prefix beam search over slot arrays.
+
+    state: (p_b [W], p_nb [W], last [W] i32, parent [W] i32, started bool)
+    inp:   ([C] softmax probabilities for this frame, valid-frame bool).
+    Returns new state and (bp_src [W], bp_char [W]) backpointers.
+    """
+    p_b, p_nb, last, parent, started = state
+    prob, valid = inp
+    W, C = beam, n_class
+    blank = C - 1
+
+    # delayed-expansion gate (cpp:120-131); padding frames can't trip it
+    started = started | ((prob[blank] < 0.999) & valid)
+    active = started & valid
+
+    # ---- emission pruning (oracle semantics: _pruned_emissions) --------
+    cand_logp = jnp.log(prob + _FLT_MIN)  # [C]
+    if cutoff_prob < 1.0 or cutoff_top_n < C:
+        svals, sidx = jax.lax.top_k(prob, C)
+        rank = jnp.zeros((C,), jnp.int32).at[sidx].set(jnp.arange(C, dtype=jnp.int32))
+        if cutoff_prob < 1.0:
+            cum = jnp.cumsum(svals)
+            pos = jnp.arange(1, C + 1)
+            trigger = (cum >= cutoff_prob) | (pos >= cutoff_top_n)
+            cutoff_len = jnp.where(jnp.any(trigger), jnp.argmax(trigger) + 1, C)
+        else:
+            cutoff_len = jnp.asarray(C, jnp.int32)  # top_n alone: sort only
+        included = rank < cutoff_len
+    else:
+        rank = jnp.arange(C, dtype=jnp.int32)  # oracle iterates index order
+        included = jnp.ones((C,), bool)
+
+    score = _lse(p_b, p_nb)  # [W]
+    alive = score > NEG_INF
+    last_safe = jnp.clip(last, 0, C - 1)
+    parent_safe = jnp.clip(parent, 0, W - 1)
+
+    # ---- existing-slot updates (blank / repeat / merge-extend) ---------
+    blank_in = included[blank]
+    b_val = jnp.where(blank_in & alive, cand_logp[blank] + score, NEG_INF)
+
+    has_last = last >= 0
+    c_in = jnp.where(has_last, included[last_safe], False)
+    r_val = jnp.where(c_in & alive, cand_logp[last_safe] + p_nb, NEG_INF)
+
+    has_parent = parent >= 0
+    par_score = score[parent_safe]
+    par_last = last[parent_safe]
+    par_pb = p_b[parent_safe]
+    e_from = jnp.where(par_last == last, par_pb, par_score)
+    e_ok = has_parent & c_in & (par_score > NEG_INF)
+    e_val = jnp.where(e_ok, cand_logp[last_safe] + e_from, NEG_INF)
+
+    new_pb_exist = b_val
+    new_pnb_exist = _lse(r_val, e_val)
+
+    # ---- timestep-claim state machine ----------------------------------
+    # The oracle (beam.py next(); cpp:150-255) walks candidates in rank
+    # order and beam slots in list order; each improving contribution to
+    # a prefix's nb either cancels (blank/repeat) or installs (extend) a
+    # pending history rewrite. Events per existing slot: B(lank),
+    # R(epeat), E(xtend-merge); R/E share candidate rank (char last[j]),
+    # B is strictly before or after; within the char iteration, slot
+    # order decides R vs E (slot index = previous frame's beam rank).
+    blank_first = jnp.where(has_last, rank[blank] < rank[last_safe], True)
+    r_first = jnp.arange(W) < parent  # j processed before parent[j]?
+
+    nb_final = new_pnb_exist
+    # case R before E: nb before E is r_val
+    impA = e_val > r_val  # E improves upon {R}
+    b_killsA = (~blank_first) & blank_in & alive & (nb_final < b_val)
+    rwA = impA & ~b_killsA
+    # case E before R: E improves upon -inf; later R then B may cancel
+    impB = e_val > NEG_INF
+    r_killsB = c_in & alive & (e_val < r_val)
+    b_killsB = (~blank_first) & blank_in & alive & (nb_final < b_val)
+    rwB = impB & ~r_killsB & ~b_killsB
+    rewrite = jnp.where(r_first, rwA, rwB) & e_ok
+
+    # ---- extension children pool [W, C] ---------------------------------
+    # merged[i, c]: an existing slot already holds prefix_i + c
+    pad_parent = jnp.where(has_parent & has_last, parent, W)
+    merged = (
+        jnp.zeros((W + 1, C), bool)
+        .at[pad_parent, last_safe]
+        .set(True)[:W]
+    )
+    is_rep = last[:, None] == jnp.arange(C)[None, :]  # c == last[i]
+    child_val = jnp.where(is_rep, p_b[:, None], score[:, None]) + cand_logp[None, :]
+    child_ok = (
+        alive[:, None]
+        & included[None, :]
+        & (jnp.arange(C)[None, :] != blank)
+        & ~merged
+    )
+    child_val = jnp.where(child_ok, child_val, NEG_INF)
+
+    # ---- top-W selection over (existing ++ children) --------------------
+    exist_score = _lse(new_pb_exist, new_pnb_exist)
+    pool = jnp.concatenate([exist_score, child_val.reshape(-1)])
+    top_val, top_idx = jax.lax.top_k(pool, W)
+    is_exist = top_idx < W
+    j_old = jnp.where(is_exist, top_idx, 0)
+    flat = jnp.where(is_exist, 0, top_idx - W)
+    i_old = flat // C
+    c_new = flat % C
+    dead = top_val == NEG_INF
+
+    sel_last = jnp.where(is_exist, last[j_old], c_new)
+    sel_pb = jnp.where(is_exist, new_pb_exist[j_old], NEG_INF)
+    sel_pnb = jnp.where(is_exist, new_pnb_exist[j_old], top_val)
+
+    # old slot -> new position (for surviving existing slots)
+    old2new = (
+        jnp.full((W + 1,), -1, jnp.int32)
+        .at[jnp.where(is_exist & ~dead, j_old, W)]
+        .set(jnp.arange(W, dtype=jnp.int32))[:W]
+    )
+    par_of_exist = parent[j_old]
+    sel_parent = jnp.where(
+        is_exist,
+        jnp.where(
+            par_of_exist >= 0,
+            old2new[jnp.clip(par_of_exist, 0, W - 1)],
+            -1,
+        ),
+        old2new[i_old],
+    )
+
+    src_exist = jnp.where(rewrite[j_old], parent[j_old], j_old)
+    char_exist = jnp.where(rewrite[j_old], last[j_old], _KEEP)
+    bp_src = jnp.where(is_exist, src_exist, i_old).astype(jnp.int32)
+    bp_char = jnp.where(is_exist, char_exist, c_new).astype(jnp.int32)
+
+    sel_last = jnp.where(dead, -1, sel_last).astype(jnp.int32)
+    sel_parent = jnp.where(dead, -1, sel_parent).astype(jnp.int32)
+    sel_pb = jnp.where(dead, NEG_INF, sel_pb)
+    sel_pnb = jnp.where(dead, NEG_INF, sel_pnb)
+    bp_src = jnp.where(dead, jnp.arange(W, dtype=jnp.int32), bp_src)
+    bp_char = jnp.where(dead, _KEEP, bp_char)
+
+    # ---- inactive frames: identity --------------------------------------
+    idw = jnp.arange(W, dtype=jnp.int32)
+    out_pb = jnp.where(active, sel_pb, p_b)
+    out_pnb = jnp.where(active, sel_pnb, p_nb)
+    out_last = jnp.where(active, sel_last, last)
+    out_parent = jnp.where(active, sel_parent, parent)
+    out_src = jnp.where(active, bp_src, idw)
+    out_char = jnp.where(active, bp_char, jnp.full((W,), _KEEP, jnp.int32))
+
+    return (out_pb, out_pnb, out_last, out_parent, started), (out_src, out_char)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "cutoff_top_n", "cutoff_prob"),
+)
+def _device_beam_scan(probs, seq_len, beam_width, cutoff_top_n, cutoff_prob):
+    """[B, T, C] probs -> backpointers + final beam state (all on device)."""
+    B, T, C = probs.shape
+    W = beam_width
+
+    def one(probs_u, len_u):
+        p_b = jnp.full((W,), NEG_INF).at[0].set(0.0)
+        p_nb = jnp.full((W,), NEG_INF)
+        last = jnp.full((W,), -1, jnp.int32)
+        parent = jnp.full((W,), -1, jnp.int32)
+        init = (p_b, p_nb, last, parent, jnp.asarray(False))
+
+        def step(state, inp):
+            prob, t = inp
+            return _beam_step(
+                state,
+                (prob, t < len_u),
+                beam=W,
+                n_class=C,
+                cutoff_top_n=cutoff_top_n,
+                cutoff_prob=cutoff_prob,
+            )
+
+        ts = jnp.arange(T, dtype=jnp.int32)
+        (p_b, p_nb, last, parent, _), (src, char) = jax.lax.scan(
+            step, init, (probs_u, ts)
+        )
+        return _lse(p_b, p_nb), src, char
+
+    scores, src, char = jax.vmap(one)(probs, seq_len.astype(jnp.int32))
+    return scores, src, char
+
+
+def device_beam_search(
+    probs,
+    seq_lengths,
+    beam_width: int = 128,
+    cutoff_top_n: int = 40,
+    cutoff_prob: float = 1.0,
+):
+    """Run the on-device no-LM beam search over a [B, T, C] batch.
+
+    Returns (scores [B, W] np, bp_src [B, T, W] np, bp_char [B, T, W] np)
+    — everything else (strings, timesteps) is host rebuild via
+    ``rebuild_results``.
+    """
+    probs = jnp.asarray(probs, jnp.float32)
+    if probs.ndim == 2:
+        probs = probs[None]
+    seq_len = jnp.atleast_1d(jnp.asarray(seq_lengths, jnp.int32))
+    scores, src, char = _device_beam_scan(
+        probs, seq_len, int(beam_width), int(cutoff_top_n), float(cutoff_prob)
+    )
+    return np.asarray(scores), np.asarray(src), np.asarray(char)
+
+
+def rebuild_results(
+    scores: np.ndarray,
+    bp_src: np.ndarray,
+    bp_char: np.ndarray,
+    alphabet: Alphabet,
+    num_results: int = 1,
+) -> List[DecodeResult]:
+    """Host-side walk of one utterance's backpointer table.
+
+    scores [W]; bp_src/bp_char [T, W]. O(num_results * T) host work —
+    independent of the alphabet size.
+    """
+    T, W = bp_src.shape
+    order = np.argsort(-scores, kind="stable")
+    results: List[DecodeResult] = []
+    for w0 in order[:num_results]:
+        if not np.isfinite(scores[w0]):
+            continue
+        tokens_rev: List[int] = []
+        steps_rev: List[int] = []
+        w = int(w0)
+        for t in range(T - 1, -1, -1):
+            ch = int(bp_char[t, w])
+            if ch != _KEEP:
+                tokens_rev.append(ch)
+                steps_rev.append(t)
+            w = int(bp_src[t, w])
+        tokens = tokens_rev[::-1]
+        steps = steps_rev[::-1]
+        results.append(
+            DecodeResult(
+                confidence=float(scores[w0]),
+                transcript=alphabet.decode(tokens),
+                tokens=tokens,
+                timesteps=steps,
+            )
+        )
+    if not results:
+        results.append(DecodeResult(0.0, "", [], []))
+    return results
+
+
+def ctc_beam_search_decoder_device(
+    probs_batch: Sequence[np.ndarray],
+    seq_lengths: Sequence[int],
+    alphabet: Alphabet,
+    beam_size: int = 128,
+    cutoff_prob: float = 1.0,
+    cutoff_top_n: int = 40,
+    num_results: int = 1,
+) -> List[List[DecodeResult]]:
+    """Batch no-LM decode with the expansion/prune running on device.
+
+    Drop-in for decode.ctc_beam_search_decoder_batch(scorer=None): pads
+    the batch to a rectangle, runs one jitted scan program, rebuilds
+    strings on the host.
+    """
+    items = [np.asarray(p, np.float32) for p in probs_batch]
+    if not items:
+        return []
+    B = len(items)
+    T = max(p.shape[0] for p in items)
+    C = items[0].shape[1]
+    batch = np.zeros((B, T, C), np.float32)
+    # padding frames sit past seq_len and are masked inside the scan;
+    # fill with blank=1 so prob sums stay sane if lengths disagree
+    batch[..., -1] = 1.0
+    for i, p in enumerate(items):
+        batch[i, : p.shape[0]] = p
+    scores, src, char = device_beam_search(
+        batch, np.asarray(seq_lengths, np.int32), beam_size,
+        cutoff_top_n, cutoff_prob,
+    )
+    return [
+        rebuild_results(scores[i], src[i], char[i], alphabet, num_results)
+        for i in range(B)
+    ]

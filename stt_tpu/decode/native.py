@@ -29,9 +29,13 @@ _build_error: Optional[str] = None
 
 
 def _ensure_built() -> Optional[str]:
-    if os.path.isfile(_LIB_PATH):
-        return None
     src = os.path.join(_NATIVE_DIR, "ctc_decoder.cpp")
+    if os.path.isfile(_LIB_PATH):
+        # rebuild when the source is newer than the library
+        if not os.path.isfile(src) or (
+            os.path.getmtime(src) <= os.path.getmtime(_LIB_PATH)
+        ):
+            return None
     if not os.path.isfile(src):
         return "native source missing"
     try:
@@ -75,6 +79,11 @@ def _load():
         lib.decoder_next.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), ctypes.c_int,
             ctypes.c_int,
+        ]
+        lib.decoder_next_pruned.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ]
         lib.decoder_decode.restype = ctypes.c_int
         lib.decoder_decode.argtypes = [
@@ -149,6 +158,23 @@ class NativeDecoderState:
             self._handle,
             probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             t, c,
+        )
+
+    def next_pruned(self, indices, logps, counts, blank_probs) -> None:
+        """Advance over device-pruned emissions (decode/device.py
+        prune_emissions): indices/logps [T, K], counts/blank_probs [T]."""
+        indices = np.ascontiguousarray(indices, np.int32)
+        logps = np.ascontiguousarray(logps, np.float32)
+        counts = np.ascontiguousarray(counts, np.int32)
+        blank_probs = np.ascontiguousarray(blank_probs, np.float32)
+        t, k = indices.shape
+        self._lib.decoder_next_pruned(
+            self._handle,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            logps.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            blank_probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            t, k,
         )
 
     def decode(self, num_results: int = 1) -> List[DecodeResult]:

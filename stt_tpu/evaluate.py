@@ -10,6 +10,7 @@ Run: python -m stt_tpu.evaluate --test_files ... --checkpoint_dir ...
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import List, Optional
 
@@ -79,7 +80,9 @@ def evaluate(
                 lengths.tolist(),
                 alphabet,
                 beam_size=config.export_beam_width,
-                num_processes=max(1, config.test_batch_size),
+                num_processes=max(
+                    1, min(config.test_batch_size, os.cpu_count() or 1)
+                ),
                 cutoff_prob=config.cutoff_prob,
                 cutoff_top_n=config.cutoff_top_n,
                 scorer=scorer,

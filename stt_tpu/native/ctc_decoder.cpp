@@ -749,25 +749,6 @@ struct Decoder {
   void next(const double* probs, int time_dim, int class_dim) {
     for (int rel_t = 0; rel_t < time_dim; ++rel_t) {
       const double* prob = probs + static_cast<size_t>(rel_t) * class_dim;
-      if (prob[blank_id] < 0.999) start_expanding = true;
-      if (!start_expanding) {
-        ++abs_time_step;
-        continue;
-      }
-
-      double min_cutoff = kNegInf;
-      bool full_beam = false;
-      const FstDict* trie =
-          (scorer && scorer->dictionary) ? scorer->dictionary.get() : nullptr;
-      if (scorer) {
-        std::sort(prefixes.begin(), prefixes.end(), prefix_compare);
-        size_t num_prefixes = std::min(prefixes.size(), beam_size);
-        min_cutoff = prefixes[num_prefixes - 1]->score +
-                     std::log(prob[blank_id] + kFltMin) -
-                     std::max(0.0, scorer->beta);
-        full_beam = num_prefixes == beam_size;
-      }
-
       // pruned emissions
       std::vector<std::pair<int, double>> emissions;
       {
@@ -792,6 +773,35 @@ struct Decoder {
         emissions.reserve(pairs.size());
         for (auto& pr : pairs)
           emissions.emplace_back(pr.first, std::log(pr.second + kFltMin));
+      }
+      step(emissions, prob[blank_id]);
+    }
+  }
+
+  // One frame given already-pruned (class, logp) candidates — the entry
+  // point for device-side emission pruning (stt_tpu/decode/device.py),
+  // where only [T, K] (indices, logp) + the blank probability cross
+  // from the TPU. blank_prob drives the expansion gate and min_cutoff.
+  void step(const std::vector<std::pair<int, double>>& emissions,
+            double blank_prob) {
+    {
+      if (blank_prob < 0.999) start_expanding = true;
+      if (!start_expanding) {
+        ++abs_time_step;
+        return;
+      }
+
+      double min_cutoff = kNegInf;
+      bool full_beam = false;
+      const FstDict* trie =
+          (scorer && scorer->dictionary) ? scorer->dictionary.get() : nullptr;
+      if (scorer) {
+        std::sort(prefixes.begin(), prefixes.end(), prefix_compare);
+        size_t num_prefixes = std::min(prefixes.size(), beam_size);
+        min_cutoff = prefixes[num_prefixes - 1]->score +
+                     std::log(blank_prob + kFltMin) -
+                     std::max(0.0, scorer->beta);
+        full_beam = num_prefixes == beam_size;
       }
 
       size_t n_pref = std::min(prefixes.size(), beam_size);
@@ -848,6 +858,22 @@ struct Decoder {
         prefixes.resize(beam_size);
       }
       ++abs_time_step;
+    }
+  }
+
+  void next_pruned(const int* indices, const float* logps, const int* counts,
+                   const float* blank_probs, int time_dim, int k) {
+    std::vector<std::pair<int, double>> emissions;
+    for (int t = 0; t < time_dim; ++t) {
+      int n = counts[t];
+      if (n > k) n = k;
+      emissions.clear();
+      emissions.reserve(n);
+      for (int i = 0; i < n; ++i) {
+        emissions.emplace_back(indices[t * k + i],
+                               static_cast<double>(logps[t * k + i]));
+      }
+      step(emissions, static_cast<double>(blank_probs[t]));
     }
   }
 
@@ -954,6 +980,15 @@ void decoder_clear_hot_words(void* handle) {
 void decoder_next(void* handle, const double* probs, int time_dim,
                   int class_dim) {
   static_cast<Decoder*>(handle)->next(probs, time_dim, class_dim);
+}
+
+// Device-pruned emissions: indices/logps are [time_dim, k] row-major,
+// counts/blank_probs are [time_dim].
+void decoder_next_pruned(void* handle, const int* indices, const float* logps,
+                         const int* counts, const float* blank_probs,
+                         int time_dim, int k) {
+  static_cast<Decoder*>(handle)->next_pruned(indices, logps, counts,
+                                             blank_probs, time_dim, k);
 }
 
 // Flattens up to num_results outputs. Returns number of results.

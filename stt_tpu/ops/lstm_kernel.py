@@ -112,14 +112,14 @@ def _lstm_fused_impl(x_proj, w_h, c0, h0, seq_len, interpret=False):
             jax.ShapeDtypeStruct((B, n_cell), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x_proj stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x_proj stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # W_h resident
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
@@ -269,7 +269,7 @@ def lstm_fused_q_impl(x_proj, w_h_q, wh_step_scale, c0, h0, seq_len,
             jax.ShapeDtypeStruct((B, n_cell), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x_proj stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x_proj stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # W_h int8 resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # scales
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -277,7 +277,7 @@ def lstm_fused_q_impl(x_proj, w_h_q, wh_step_scale, c0, h0, seq_len,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),

@@ -140,16 +140,16 @@ def _lstm_train_fwd_impl(x_proj, w_h, c0, h0, seq, interpret=False):
             jax.ShapeDtypeStruct((B, n_cell), jnp.float32),  # h_T
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
@@ -286,17 +286,17 @@ def _lstm_train_bwd_impl(zs, cs, cs_prev, dout, w_ht, seq, dcT, dhT,
             jax.ShapeDtypeStruct((B, n_cell), jnp.float32),  # dh0
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # zs
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cs
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cs_prev
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dout
+            pl.BlockSpec(memory_space=pl.ANY),  # zs
+            pl.BlockSpec(memory_space=pl.ANY),  # cs
+            pl.BlockSpec(memory_space=pl.ANY),  # cs_prev
+            pl.BlockSpec(memory_space=pl.ANY),  # dout
             pl.BlockSpec(memory_space=pltpu.VMEM),  # W_h^T
             pl.BlockSpec(memory_space=pltpu.VMEM),  # seq
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dcT
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dhT
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),

@@ -14,9 +14,12 @@ needs calibration.
 Scheme: symmetric int8, per-output-channel weight scales, per-tensor
 activation scales. y = (x_q @ W_q) * (s_x * s_w) + b computed in int32
 on the MXU, dequantized and biased in f32 on the VPU. The LSTM
-recurrence itself stays in the bf16 fused Pallas kernel (its h @ W_h
-accumulation is the carry chain — int8 there costs accuracy each step);
-the LSTM *input* projection, which is the same FLOP count, quantizes.
+recurrence also runs int8: h is bounded in (-1, 1) so h_q = round(h*127)
+quantizes without calibration, and the fused Pallas kernel
+(lstm_kernel.lstm_fused_q_impl) does the per-step h_q @ W_h_q matmul in
+int8 with the gate math in f32 — validated transcript-equal on the
+smoke gate (tests/test_quant.py). The lax.scan fallback mirrors the
+same quantization so CPU and TPU agree bit-for-bit on gate inputs.
 """
 
 from __future__ import annotations
@@ -73,6 +76,20 @@ def quantize_params(
     input scale of layer_1 (the one unbounded activation). Defaults to a
     conservative |x| <= 64 bound on MFCC magnitudes when omitted.
     """
+    ln_layers = [
+        name
+        for name in ("layer_1", "layer_2", "layer_3", "layer_5", "layer_6")
+        if isinstance(params.get(name), dict) and "ln_scale" in params[name]
+    ]
+    if ln_layers:
+        # _qdense_apply has no layer-norm step and the static
+        # relu_clip-derived activation scales assume no post-matmul
+        # renormalization; quantizing would silently change logits.
+        raise ValueError(
+            "int8 activation quantization does not support layer_norm "
+            f"models (ln params on {ln_layers}); use the weight-only "
+            "artifact (flatten_weight_only) instead"
+        )
     if calibration_features is not None:
         x = create_overlapping_windows(
             jnp.asarray(calibration_features, jnp.float32), config.n_context

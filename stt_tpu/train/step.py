@@ -149,7 +149,7 @@ def make_train_step_dp(
     import dataclasses as _dataclasses
 
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     local_config = _dataclasses.replace(config, force_fused=True)
 
@@ -180,6 +180,6 @@ def make_train_step_dp(
             P(),
             StepMetrics(P(), P("data"), P("data"), P()),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))

@@ -168,6 +168,11 @@ def test_native_client_binary_embedded_interpreter(smoke_model_dir, trained_smok
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=1",
     )
+    # The TPU-tunnel sitecustomize (gated on PALLAS_AXON_POOL_IPS) would
+    # make the embedded interpreter dial the single-grant tunnel at boot;
+    # with pytest's own interpreter holding the grant, that blocks
+    # forever. This is a CPU accuracy gate — keep the subprocess hermetic.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.run(
         [CLIENT, "--model", smoke_model_dir, "--audio", wav],
         capture_output=True, text=True, timeout=600, env=env,
