@@ -26,12 +26,17 @@ the host. This module moves the per-frame math onto the TPU:
 Known, deliberate divergences from the host oracle (tested):
 - arithmetic is f32 on device vs f64 on the host: transcripts/tokens/
   timesteps match exactly on test fixtures, confidences to ~1e-3;
-- when a slot's parent prefix is pruned from the beam and the same
-  parent string later re-enters, a re-extension creates a duplicate
-  slot instead of merging (the host trie merges). Vanishingly rare at
-  practical beam widths; the equivalence tests cover real smoke data.
 - score ties are broken by slot order (previous frame's rank) rather
   than the oracle's (-score, character) sort key.
+
+Prefix identity is tracked by a pair of rolling 32-bit string hashes
+per slot (not by parent slot indices, which sever when a parent is
+pruned and its string later re-enters the beam): the extension-merge
+target for "prefix_parent + c == prefix_j" is found each frame by
+matching slot hashes against parent-string hashes, exactly like the
+host trie's get_child. Alive slots therefore always hold distinct
+strings and prefix mass never splits; a (vanishingly unlikely) 64-bit
+hash collision could merge two unrelated prefixes.
 """
 
 from __future__ import annotations
@@ -61,11 +66,18 @@ def _lse(a, b):
 
 @functools.partial(jax.jit, static_argnames=("cutoff_top_n", "cutoff_prob"))
 def _prune_frame_sorted(probs, cutoff_top_n: int, cutoff_prob: float):
-    """probs [..., C] -> (idx [..., K], logp [..., K], count [...])."""
+    """probs [..., C] -> (idx [..., K], logp [..., K], count [...]).
+
+    Candidate ORDER is part of the contract: the decoder's per-frame
+    accumulation visits candidates in this order and timestep-claim
+    updates depend on it, so it must match the host exactly
+    (cpp:336-351): no sort at all unless cutoff_prob < 1 or
+    cutoff_top_n < C; truncation happens only through the
+    cumulative-mass loop (cutoff_prob < 1)."""
     c = probs.shape[-1]
-    k = min(cutoff_top_n, c)
-    vals, idx = jax.lax.top_k(probs, k)
     if cutoff_prob < 1.0:
+        k = min(cutoff_top_n, c)
+        vals, idx = jax.lax.top_k(probs, k)
         cum = jnp.cumsum(vals, axis=-1)
         pos = jnp.arange(1, k + 1)
         trigger = (cum >= cutoff_prob) | (pos >= cutoff_top_n)
@@ -74,8 +86,15 @@ def _prune_frame_sorted(probs, cutoff_top_n: int, cutoff_prob: float):
             jnp.argmax(trigger, axis=-1) + 1,
             k,
         )
+    elif cutoff_top_n < c:
+        # reference sorts but keeps every class
+        vals, idx = jax.lax.top_k(probs, c)
+        count = jnp.full(probs.shape[:-1], c, jnp.int32)
     else:
-        count = jnp.full(probs.shape[:-1], k, jnp.int32)
+        # index order, untouched
+        vals = probs
+        idx = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32), probs.shape)
+        count = jnp.full(probs.shape[:-1], c, jnp.int32)
     logp = jnp.log(vals + _FLT_MIN)
     return idx.astype(jnp.int32), logp, count.astype(jnp.int32)
 
@@ -86,12 +105,11 @@ def prune_emissions(
     """Device twin of get_pruned_emissions (cpp:328-358) over [..., T, C].
 
     Returns (indices [..., T, K], logp [..., T, K], counts [..., T],
-    blank_prob [..., T]) with K = min(cutoff_top_n, C). Candidates are
-    sorted by descending probability; counts follow the reference's
-    cumulative-mass rule when cutoff_prob < 1. One divergence by design:
-    the reference only truncates when cutoff_prob < 1 (top_n alone keeps
-    all classes, merely sorted); here cutoff_top_n always bounds the
-    transfer — that is the knob's point on a remote-attached chip.
+    blank_prob [..., T]) with K = min(cutoff_top_n, C) when
+    cutoff_prob < 1 (the only case the reference truncates) and K = C
+    otherwise. Candidate order matches the host decoder exactly — sorted
+    only when the reference sorts — because expansion-accumulation order
+    shapes the timestep histories.
     """
     probs = jnp.asarray(probs)
     idx, logp, count = _prune_frame_sorted(probs, int(cutoff_top_n),
@@ -106,16 +124,22 @@ def prune_emissions(
 
 _KEEP = -1  # bp_char value meaning "same prefix as bp_src one frame back"
 
+# rolling string-hash multipliers (two independent 32-bit streams)
+_H1 = np.int32(1000003)
+_H2 = np.int32(69069)
+
 
 def _beam_step(state, inp, *, beam: int, n_class: int,
                cutoff_top_n: int, cutoff_prob: float):
     """One frame of CTC prefix beam search over slot arrays.
 
-    state: (p_b [W], p_nb [W], last [W] i32, parent [W] i32, started bool)
+    state: (p_b [W], p_nb [W], last [W] i32,
+            ha/hb [W] i32 string hashes, par_ha/par_hb [W] i32 hashes of
+            the parent string (prefix minus last char), started bool)
     inp:   ([C] softmax probabilities for this frame, valid-frame bool).
     Returns new state and (bp_src [W], bp_char [W]) backpointers.
     """
-    p_b, p_nb, last, parent, started = state
+    p_b, p_nb, last, ha, hb, par_ha, par_hb, started = state
     prob, valid = inp
     W, C = beam, n_class
     blank = C - 1
@@ -144,22 +168,35 @@ def _beam_step(state, inp, *, beam: int, n_class: int,
     score = _lse(p_b, p_nb)  # [W]
     alive = score > NEG_INF
     last_safe = jnp.clip(last, 0, C - 1)
-    parent_safe = jnp.clip(parent, 0, W - 1)
+    has_last = last >= 0
+
+    # ---- parent lookup by string hash (the trie's get_child merge) ------
+    # eq_par[i, j]: alive slot i holds slot j's parent string. Alive slots
+    # hold distinct strings (inductive invariant: children roll distinct
+    # hashes, merges land on existing slots), so each column has at most
+    # one hit; slot indices never go stale the way parent pointers would
+    # when a pruned parent's string re-enters the beam.
+    eq_par = (
+        (ha[:, None] == par_ha[None, :])
+        & (hb[:, None] == par_hb[None, :])
+        & alive[:, None]
+        & has_last[None, :]
+    )
+    has_parent = jnp.any(eq_par, axis=0)
+    par_idx = jnp.argmax(eq_par, axis=0).astype(jnp.int32)
 
     # ---- existing-slot updates (blank / repeat / merge-extend) ---------
     blank_in = included[blank]
     b_val = jnp.where(blank_in & alive, cand_logp[blank] + score, NEG_INF)
 
-    has_last = last >= 0
     c_in = jnp.where(has_last, included[last_safe], False)
     r_val = jnp.where(c_in & alive, cand_logp[last_safe] + p_nb, NEG_INF)
 
-    has_parent = parent >= 0
-    par_score = score[parent_safe]
-    par_last = last[parent_safe]
-    par_pb = p_b[parent_safe]
+    par_score = score[par_idx]
+    par_last = last[par_idx]
+    par_pb = p_b[par_idx]
     e_from = jnp.where(par_last == last, par_pb, par_score)
-    e_ok = has_parent & c_in & (par_score > NEG_INF)
+    e_ok = has_parent & c_in
     e_val = jnp.where(e_ok, cand_logp[last_safe] + e_from, NEG_INF)
 
     new_pb_exist = b_val
@@ -174,7 +211,7 @@ def _beam_step(state, inp, *, beam: int, n_class: int,
     # B is strictly before or after; within the char iteration, slot
     # order decides R vs E (slot index = previous frame's beam rank).
     blank_first = jnp.where(has_last, rank[blank] < rank[last_safe], True)
-    r_first = jnp.arange(W) < parent  # j processed before parent[j]?
+    r_first = jnp.arange(W) < par_idx  # j processed before its parent?
 
     nb_final = new_pnb_exist
     # case R before E: nb before E is r_val
@@ -189,12 +226,15 @@ def _beam_step(state, inp, *, beam: int, n_class: int,
     rewrite = jnp.where(r_first, rwA, rwB) & e_ok
 
     # ---- extension children pool [W, C] ---------------------------------
-    # merged[i, c]: an existing slot already holds prefix_i + c
-    pad_parent = jnp.where(has_parent & has_last, parent, W)
+    # merged[i, c]: an alive slot already holds prefix_i + c — i.e. some
+    # slot j whose parent hash matches slot i (eq_par again) and whose
+    # last char is c; scatter eq_par over j's last char via one matmul
+    onehot_last = (
+        (last[:, None] == jnp.arange(C)[None, :]) & has_last[:, None]
+    )
     merged = (
-        jnp.zeros((W + 1, C), bool)
-        .at[pad_parent, last_safe]
-        .set(True)[:W]
+        jnp.dot(eq_par.astype(jnp.float32), onehot_last.astype(jnp.float32))
+        > 0.5
     )
     is_rep = last[:, None] == jnp.arange(C)[None, :]  # c == last[i]
     child_val = jnp.where(is_rep, p_b[:, None], score[:, None]) + cand_logp[None, :]
@@ -221,32 +261,27 @@ def _beam_step(state, inp, *, beam: int, n_class: int,
     sel_pb = jnp.where(is_exist, new_pb_exist[j_old], NEG_INF)
     sel_pnb = jnp.where(is_exist, new_pnb_exist[j_old], top_val)
 
-    # old slot -> new position (for surviving existing slots)
-    old2new = (
-        jnp.full((W + 1,), -1, jnp.int32)
-        .at[jnp.where(is_exist & ~dead, j_old, W)]
-        .set(jnp.arange(W, dtype=jnp.int32))[:W]
-    )
-    par_of_exist = parent[j_old]
-    sel_parent = jnp.where(
-        is_exist,
-        jnp.where(
-            par_of_exist >= 0,
-            old2new[jnp.clip(par_of_exist, 0, W - 1)],
-            -1,
-        ),
-        old2new[i_old],
-    )
+    # string hashes: a child rolls its parent's hash forward one char
+    child_ha = ha[i_old] * _H1 + (c_new + 1).astype(jnp.int32)
+    child_hb = hb[i_old] * _H2 + (c_new + 1).astype(jnp.int32)
+    sel_ha = jnp.where(is_exist, ha[j_old], child_ha)
+    sel_hb = jnp.where(is_exist, hb[j_old], child_hb)
+    sel_par_ha = jnp.where(is_exist, par_ha[j_old], ha[i_old])
+    sel_par_hb = jnp.where(is_exist, par_hb[j_old], hb[i_old])
 
-    src_exist = jnp.where(rewrite[j_old], parent[j_old], j_old)
+    src_exist = jnp.where(rewrite[j_old], par_idx[j_old], j_old)
     char_exist = jnp.where(rewrite[j_old], last[j_old], _KEEP)
     bp_src = jnp.where(is_exist, src_exist, i_old).astype(jnp.int32)
     bp_char = jnp.where(is_exist, char_exist, c_new).astype(jnp.int32)
 
     sel_last = jnp.where(dead, -1, sel_last).astype(jnp.int32)
-    sel_parent = jnp.where(dead, -1, sel_parent).astype(jnp.int32)
     sel_pb = jnp.where(dead, NEG_INF, sel_pb)
     sel_pnb = jnp.where(dead, NEG_INF, sel_pnb)
+    # dead slots get the (0, 0) hash pair, unreachable for real strings
+    sel_ha = jnp.where(dead, 0, sel_ha).astype(jnp.int32)
+    sel_hb = jnp.where(dead, 0, sel_hb).astype(jnp.int32)
+    sel_par_ha = jnp.where(dead, 0, sel_par_ha).astype(jnp.int32)
+    sel_par_hb = jnp.where(dead, 0, sel_par_hb).astype(jnp.int32)
     bp_src = jnp.where(dead, jnp.arange(W, dtype=jnp.int32), bp_src)
     bp_char = jnp.where(dead, _KEEP, bp_char)
 
@@ -255,11 +290,18 @@ def _beam_step(state, inp, *, beam: int, n_class: int,
     out_pb = jnp.where(active, sel_pb, p_b)
     out_pnb = jnp.where(active, sel_pnb, p_nb)
     out_last = jnp.where(active, sel_last, last)
-    out_parent = jnp.where(active, sel_parent, parent)
+    out_ha = jnp.where(active, sel_ha, ha)
+    out_hb = jnp.where(active, sel_hb, hb)
+    out_par_ha = jnp.where(active, sel_par_ha, par_ha)
+    out_par_hb = jnp.where(active, sel_par_hb, par_hb)
     out_src = jnp.where(active, bp_src, idw)
     out_char = jnp.where(active, bp_char, jnp.full((W,), _KEEP, jnp.int32))
 
-    return (out_pb, out_pnb, out_last, out_parent, started), (out_src, out_char)
+    new_state = (
+        out_pb, out_pnb, out_last, out_ha, out_hb, out_par_ha, out_par_hb,
+        started,
+    )
+    return new_state, (out_src, out_char)
 
 
 @functools.partial(
@@ -275,8 +317,12 @@ def _device_beam_scan(probs, seq_len, beam_width, cutoff_top_n, cutoff_prob):
         p_b = jnp.full((W,), NEG_INF).at[0].set(0.0)
         p_nb = jnp.full((W,), NEG_INF)
         last = jnp.full((W,), -1, jnp.int32)
-        parent = jnp.full((W,), -1, jnp.int32)
-        init = (p_b, p_nb, last, parent, jnp.asarray(False))
+        # root (empty string) hashes to (1, 1); dead slots sit at (0, 0)
+        ha = jnp.zeros((W,), jnp.int32).at[0].set(1)
+        hb = jnp.zeros((W,), jnp.int32).at[0].set(1)
+        par_ha = jnp.zeros((W,), jnp.int32)
+        par_hb = jnp.zeros((W,), jnp.int32)
+        init = (p_b, p_nb, last, ha, hb, par_ha, par_hb, jnp.asarray(False))
 
         def step(state, inp):
             prob, t = inp
@@ -290,7 +336,7 @@ def _device_beam_scan(probs, seq_len, beam_width, cutoff_top_n, cutoff_prob):
             )
 
         ts = jnp.arange(T, dtype=jnp.int32)
-        (p_b, p_nb, last, parent, _), (src, char) = jax.lax.scan(
+        (p_b, p_nb, *_), (src, char) = jax.lax.scan(
             step, init, (probs_u, ts)
         )
         return _lse(p_b, p_nb), src, char
@@ -365,7 +411,7 @@ def rebuild_results(
 
 
 def ctc_beam_search_decoder_device(
-    probs_batch: Sequence[np.ndarray],
+    probs_batch,
     seq_lengths: Sequence[int],
     alphabet: Alphabet,
     beam_size: int = 128,
@@ -377,20 +423,26 @@ def ctc_beam_search_decoder_device(
 
     Drop-in for decode.ctc_beam_search_decoder_batch(scorer=None): pads
     the batch to a rectangle, runs one jitted scan program, rebuilds
-    strings on the host.
+    strings on the host. A [B, T, C] array (including a device-resident
+    jax.Array straight out of the acoustic model) is consumed as-is —
+    the probabilities then never visit the host at full width.
     """
-    items = [np.asarray(p, np.float32) for p in probs_batch]
-    if not items:
-        return []
-    B = len(items)
-    T = max(p.shape[0] for p in items)
-    C = items[0].shape[1]
-    batch = np.zeros((B, T, C), np.float32)
-    # padding frames sit past seq_len and are masked inside the scan;
-    # fill with blank=1 so prob sums stay sane if lengths disagree
-    batch[..., -1] = 1.0
-    for i, p in enumerate(items):
-        batch[i, : p.shape[0]] = p
+    if hasattr(probs_batch, "ndim") and getattr(probs_batch, "ndim", 0) == 3:
+        batch = probs_batch
+        B = batch.shape[0]
+    else:
+        items = [np.asarray(p, np.float32) for p in probs_batch]
+        if not items:
+            return []
+        B = len(items)
+        T = max(p.shape[0] for p in items)
+        C = items[0].shape[1]
+        batch = np.zeros((B, T, C), np.float32)
+        # padding frames sit past seq_len and are masked inside the scan;
+        # fill with blank=1 so prob sums stay sane if lengths disagree
+        batch[..., -1] = 1.0
+        for i, p in enumerate(items):
+            batch[i, : p.shape[0]] = p
     scores, src, char = device_beam_search(
         batch, np.asarray(seq_lengths, np.int32), beam_size,
         cutoff_top_n, cutoff_prob,
@@ -399,3 +451,67 @@ def ctc_beam_search_decoder_device(
         rebuild_results(scores[i], src[i], char[i], alphabet, num_results)
         for i in range(B)
     ]
+
+
+def ctc_beam_search_decoder_batch_pruned(
+    probs_batch,
+    seq_lengths: Sequence[int],
+    alphabet: Alphabet,
+    beam_size: int,
+    num_processes: int = 1,
+    cutoff_prob: float = 1.0,
+    cutoff_top_n: int = 40,
+    scorer=None,
+    hot_words=None,
+    num_results: int = 1,
+    implementation: str = "auto",
+) -> List[List[DecodeResult]]:
+    """Scorer-capable batch decode with on-device emission pruning.
+
+    The per-frame top-k + cutoff mass runs where the probabilities live
+    (one jitted program over [B, T, C]); only the pruned (indices, logp,
+    count, blank) tensors cross to the host, where DecoderState (Python
+    oracle or native C++) consumes them via next_pruned. Same results as
+    decode.ctc_beam_search_decoder_batch (equivalence-tested); host work
+    and transfer no longer scale with n_alphabet.
+    """
+    import jax.numpy as jnp
+
+    probs = probs_batch
+    if not (hasattr(probs, "ndim") and getattr(probs, "ndim", 0) == 3):
+        items = [np.asarray(p, np.float32) for p in probs_batch]
+        if not items:
+            return []
+        T = max(p.shape[0] for p in items)
+        C = items[0].shape[1]
+        batch = np.zeros((len(items), T, C), np.float32)
+        batch[..., -1] = 1.0
+        for i, p in enumerate(items):
+            batch[i, : p.shape[0]] = p
+        probs = batch
+    idx, logp, cnt, blank = prune_emissions(
+        jnp.asarray(probs), cutoff_top_n=cutoff_top_n, cutoff_prob=cutoff_prob
+    )
+    idx, logp, cnt, blank = (
+        np.asarray(idx), np.asarray(logp), np.asarray(cnt), np.asarray(blank)
+    )
+    lengths = [int(n) for n in seq_lengths]
+
+    from stt_tpu.decode.beam import make_decoder_state
+
+    def one(i: int) -> List[DecodeResult]:
+        n = lengths[i]
+        state = make_decoder_state(
+            alphabet, beam_size, cutoff_prob, cutoff_top_n, scorer,
+            hot_words, implementation,
+        )
+        state.next_pruned(idx[i, :n], logp[i, :n], cnt[i, :n], blank[i, :n])
+        return state.decode(num_results)
+
+    B = idx.shape[0]
+    if num_processes <= 1 or B <= 1:
+        return [one(i) for i in range(B)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_processes) as pool:
+        return list(pool.map(one, range(B)))

@@ -73,20 +73,56 @@ def evaluate(
             train_phase=False,
         ):
             losses, logits = eval_step(params, batch)
-            probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+            probs = jax.nn.softmax(logits, axis=-1)  # stays on device
             lengths = np.asarray(batch.feature_lengths)
-            decoded = ctc_beam_search_decoder_batch(
-                list(probs),
-                lengths.tolist(),
-                alphabet,
-                beam_size=config.export_beam_width,
-                num_processes=max(
-                    1, min(config.test_batch_size, os.cpu_count() or 1)
-                ),
-                cutoff_prob=config.cutoff_prob,
-                cutoff_top_n=config.cutoff_top_n,
-                scorer=scorer,
+            num_processes = max(
+                1, min(config.test_batch_size, os.cpu_count() or 1)
             )
+            mode = config.device_decode
+            if mode == "auto":
+                mode = "full" if scorer is None else "prune"
+            if mode == "full" and scorer is None:
+                # whole per-frame expansion/prune on device; the host only
+                # walks backpointers (decode/device.py)
+                from stt_tpu.decode.device import (
+                    ctc_beam_search_decoder_device,
+                )
+
+                decoded = ctc_beam_search_decoder_device(
+                    probs,
+                    lengths.tolist(),
+                    alphabet,
+                    beam_size=config.export_beam_width,
+                    cutoff_prob=config.cutoff_prob,
+                    cutoff_top_n=config.cutoff_top_n,
+                )
+            elif mode in ("prune", "full"):
+                # emission pruning on device, beam + LM on the host
+                from stt_tpu.decode.device import (
+                    ctc_beam_search_decoder_batch_pruned,
+                )
+
+                decoded = ctc_beam_search_decoder_batch_pruned(
+                    probs,
+                    lengths.tolist(),
+                    alphabet,
+                    beam_size=config.export_beam_width,
+                    num_processes=num_processes,
+                    cutoff_prob=config.cutoff_prob,
+                    cutoff_top_n=config.cutoff_top_n,
+                    scorer=scorer,
+                )
+            else:
+                decoded = ctc_beam_search_decoder_batch(
+                    list(np.asarray(probs)),
+                    lengths.tolist(),
+                    alphabet,
+                    beam_size=config.export_beam_width,
+                    num_processes=num_processes,
+                    cutoff_prob=config.cutoff_prob,
+                    cutoff_top_n=config.cutoff_top_n,
+                    scorer=scorer,
+                )
             labels = np.asarray(batch.labels)
             label_lengths = np.asarray(batch.label_lengths)
             for i, sample_id in enumerate(ids):

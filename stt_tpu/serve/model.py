@@ -127,8 +127,8 @@ class Model:
 
     # -- recognition -------------------------------------------------------
 
-    def create_stream(self) -> "Stream":
-        return Stream(self)
+    def create_stream(self, device_prune: Optional[bool] = None) -> "Stream":
+        return Stream(self, device_prune=device_prune)
 
     def stt(self, audio) -> str:
         stream = self.create_stream()
@@ -142,8 +142,10 @@ class Model:
 
     def stt_with_emissions(self, audio) -> Tuple[str, np.ndarray]:
         """Transcript plus raw per-frame softmax emissions
-        (STT_SpeechToTextWithEmissions surface)."""
-        stream = self.create_stream()
+        (STT_SpeechToTextWithEmissions surface). Full-width probs must
+        reach the host here, so device-side emission pruning is forced
+        off for this stream."""
+        stream = self.create_stream(device_prune=False)
         stream.feed_audio_content(audio)
         text = stream.finish_stream()
         return text, stream._state.probs_history
@@ -192,7 +194,7 @@ class Model:
 
 
 class Stream:
-    def __init__(self, model: Model):
+    def __init__(self, model: Model, device_prune: Optional[bool] = None):
         self.model = model
         self._state = StreamState(
             model._runtime,
@@ -201,6 +203,7 @@ class Stream:
             cutoff_top_n=model._cutoff_top_n,
             scorer=model.scorer,
             hot_words=model.hot_words or None,
+            device_prune=device_prune,
         )
 
     def feed_audio_content(self, audio) -> None:

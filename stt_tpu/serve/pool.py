@@ -51,13 +51,21 @@ class PooledStream:
 
 
 class StreamPool:
-    def __init__(self, model, max_streams: int = 8):
+    def __init__(self, model, max_streams: int = 8,
+                 device_prune: Optional[bool] = None):
         self._model = model
         self.max_streams = max_streams
         runtime = model._runtime
         self._runtime = runtime
         mc = runtime.model_config
         fc = runtime.feature_config
+        if device_prune is None:
+            from stt_tpu.stream.streaming import auto_device_prune
+
+            device_prune = auto_device_prune(
+                mc.n_out, model._cutoff_top_n, model._cutoff_prob
+            )
+        self.device_prune = bool(device_prune)
         self._chunk_samples = runtime.chunk_samples
         n = mc.n_cell_dim
         self._c = jnp.zeros((max_streams, n), jnp.float32)
@@ -83,7 +91,16 @@ class StreamPool:
                 params, windowed, seq_len=seq_len, config=mc,
                 previous_state=(c, h), overlap=False,
             )
-            return jax.nn.softmax(logits, axis=-1), c2, h2
+            probs = jax.nn.softmax(logits, axis=-1)
+            if self.device_prune:
+                from stt_tpu.decode.device import prune_emissions
+
+                return prune_emissions(
+                    probs,
+                    cutoff_top_n=model._cutoff_top_n,
+                    cutoff_prob=model._cutoff_prob,
+                ), c2, h2
+            return probs, c2, h2
 
         self._mfcc = jax.jit(batched_mfcc)
         self._infer = jax.jit(batched_infer)
@@ -107,6 +124,8 @@ class StreamPool:
                 self._decoders[slot] = make_decoder_state(
                     self._runtime.alphabet,
                     self._model._beam_width,
+                    cutoff_prob=self._model._cutoff_prob,
+                    cutoff_top_n=self._model._cutoff_top_n,
                     scorer=self._model.scorer,
                     hot_words=self._model.hot_words or None,
                 )
@@ -187,14 +206,23 @@ class StreamPool:
             seq_len[s] = valid
             self._left_ctx[s] = stacked[valid : valid + n_ctx]
             self._pending[s] = self._pending[s][valid:]
-        probs, self._c, self._h = self._infer(
+        out, self._c, self._h = self._infer(
             self._runtime.params, jnp.asarray(windowed),
             jnp.asarray(seq_len), self._c, self._h,
         )
-        probs = np.asarray(probs)
-        for s, valid in valid_by_slot.items():
-            if valid > 0:
-                self._decoders[s].next(probs[s, :valid])
+        if self.device_prune:
+            idx, logp, cnt, blank = (np.asarray(a) for a in out)
+            for s, valid in valid_by_slot.items():
+                if valid > 0:
+                    self._decoders[s].next_pruned(
+                        idx[s, :valid], logp[s, :valid],
+                        cnt[s, :valid], blank[s, :valid],
+                    )
+        else:
+            probs = np.asarray(out)
+            for s, valid in valid_by_slot.items():
+                if valid > 0:
+                    self._decoders[s].next(probs[s, :valid])
 
     # -- finishing ---------------------------------------------------------
 

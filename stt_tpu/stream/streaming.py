@@ -43,6 +43,22 @@ from stt_tpu.models import ModelConfig, apply_model
 N_STEPS = 16  # timesteps per inference step (config.py:627-632 parity)
 
 
+def auto_device_prune(n_out: int, cutoff_top_n: int, cutoff_prob: float) -> bool:
+    """Should emission pruning run on device for this decoder geometry?
+
+    Pruning pays when the pruned (idx, logp, count, blank) tensors are
+    smaller than the full [T, C] probabilities — i.e. when the reference
+    semantics actually truncate (cutoff_prob < 1, see
+    device.prune_emissions) and the kept top-k is well under C (bytes
+    mode C=256, wav2vec2-style vocabularies). For the default 29-class
+    alphabet with cutoff_prob=1.0 the full probs are smaller; stay off.
+    """
+    if cutoff_prob >= 1.0:
+        return False
+    k = min(cutoff_top_n, n_out)
+    return 2 * k + 2 < n_out
+
+
 class StreamingRuntime:
     """Shared, stateless-per-stream compiled programs + config."""
 
@@ -90,6 +106,29 @@ class StreamingRuntime:
 
         self._mfcc_chunk = jax.jit(mfcc_chunk)
         self._window_infer = jax.jit(window_infer)
+        self._pruned_infer_cache = {}
+
+    def window_infer_pruned(self, cutoff_top_n: int, cutoff_prob: float):
+        """Compiled chunk step that also prunes emissions on device, so
+        only [16, K] (idx, logp) + counts + blank cross to the host
+        (decode/device.py prune_emissions). Cached per cutoff config."""
+        key = (int(cutoff_top_n), float(cutoff_prob))
+        fn = self._pruned_infer_cache.get(key)
+        if fn is None:
+            from stt_tpu.decode.device import prune_emissions
+
+            base = self._window_infer.__wrapped__
+
+            def infer_pruned(params, stacked, seq_len, c, h):
+                probs, c2, h2 = base(params, stacked, seq_len, c, h)
+                idx, logp, cnt, blank = prune_emissions(
+                    probs, cutoff_top_n=key[0], cutoff_prob=key[1]
+                )
+                return (idx, logp, cnt, blank), c2, h2
+
+            fn = jax.jit(infer_pruned)
+            self._pruned_infer_cache[key] = fn
+        return fn
 
     def zero_state(self):
         n = self.model_config.n_cell_dim
@@ -107,9 +146,20 @@ class StreamState:
         cutoff_top_n: int = 40,
         scorer: Optional[ScorerBase] = None,
         hot_words: Optional[Dict[str, float]] = None,
+        device_prune: Optional[bool] = None,
     ):
         self.runtime = runtime
         mc = runtime.model_config
+        # None = auto: prune on device when it shrinks the chunk transfer;
+        # pruning disables probs_history (the emissions surface never
+        # materializes full-width probabilities on the host)
+        if device_prune is None:
+            device_prune = auto_device_prune(
+                mc.n_out, cutoff_top_n, cutoff_prob
+            )
+        self.device_prune = bool(device_prune)
+        self._cutoff_top_n = cutoff_top_n
+        self._cutoff_prob = cutoff_prob
         self._audio: np.ndarray = np.zeros((0,), np.float32)
         # MFCC frames stay on device until their probs are computed
         self._pending = jnp.zeros((0, mc.n_input), jnp.float32)
@@ -164,19 +214,29 @@ class StreamState:
                 [block, jnp.zeros((pad, mc.n_input), jnp.float32)]
             )
         stacked = jnp.concatenate([self._left_ctx, block])
-        probs, self._c, self._h = rt._window_infer(
-            rt.params,
-            stacked,
-            jnp.asarray(valid, jnp.int32),
-            self._c,
-            self._h,
-        )
-        try:
-            probs.copy_to_host_async()
-        except AttributeError:
-            pass
+        if self.device_prune:
+            infer = rt.window_infer_pruned(
+                self._cutoff_top_n, self._cutoff_prob
+            )
+            out, self._c, self._h = infer(
+                rt.params, stacked, jnp.asarray(valid, jnp.int32),
+                self._c, self._h,
+            )
+        else:
+            out, self._c, self._h = rt._window_infer(
+                rt.params,
+                stacked,
+                jnp.asarray(valid, jnp.int32),
+                self._c,
+                self._h,
+            )
+        for arr in jax.tree.leaves(out):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
         self._drain()  # previous chunk's transfer has had a chunk to finish
-        self._inflight = (probs, valid)
+        self._inflight = (out, valid)
         # left context for the next chunk = last n_ctx frames before it
         self._left_ctx = stacked[valid : valid + n_ctx]
         self._pending = self._pending[valid:]
@@ -186,11 +246,17 @@ class StreamState:
         decode and when the next chunk lands)."""
         if self._inflight is None:
             return
-        probs, valid = self._inflight
+        out, valid = self._inflight
         self._inflight = None
-        host = np.asarray(probs)[:valid]
-        self._probs_history.append(host)
-        self.decoder.next(host)
+        if self.device_prune:
+            idx, logp, cnt, blank = (np.asarray(a) for a in out)
+            self.decoder.next_pruned(
+                idx[:valid], logp[:valid], cnt[:valid], blank[:valid]
+            )
+        else:
+            host = np.asarray(out)[:valid]
+            self._probs_history.append(host)
+            self.decoder.next(host)
 
     def _process_frames(self, flush: bool) -> None:
         n_ctx = self.runtime.model_config.n_context
