@@ -104,6 +104,11 @@ class SttConfig:
     export_beam_width: int = 500
     cutoff_prob: float = 1.0
     cutoff_top_n: int = 300
+    # where the per-frame beam math runs: 'auto' decodes no-LM batches
+    # entirely on device (decode/device.py scan) and device-prunes
+    # emissions for scorer decodes; 'full'/'prune' force those modes;
+    # 'off' keeps decode on the host from full-width probabilities
+    device_decode: str = "auto"  # auto | full | prune | off
 
     # -- export ------------------------------------------------------------
     export_dir: str = ""
@@ -118,6 +123,12 @@ class SttConfig:
     export_language: str = ""
 
     # -- distribution ------------------------------------------------------
+    # multi-host: join a jax.distributed job before touching devices
+    # (train.py had nothing here — the reference was single-host only,
+    # SURVEY.md §2.5; these drive parallel/distributed.initialize)
+    coordinator_address: str = ""  # host:port of process 0
+    num_processes: int = 0  # 0/1 = single-process
+    process_id: int = -1  # -1: take from env (JAX_PROCESS_ID)
     n_model_parallel: int = 1
     compute_dtype: str = "float32"  # bfloat16 for full-rate MXU training
     # fused Pallas LSTM kernels (inference + training); safe to leave on:
@@ -253,8 +264,26 @@ def parse_flags(argv: Optional[List[str]] = None) -> SttConfig:
     return SttConfig(**kwargs)
 
 
+def maybe_initialize_distributed(config: SttConfig) -> None:
+    """Join the multi-host runtime when --num_processes > 1. Must run
+    before anything touches jax devices (CLI entry points call it right
+    after flag parsing)."""
+    if config.num_processes and config.num_processes > 1:
+        from stt_tpu.parallel.distributed import initialize
+
+        process_id = config.process_id
+        if process_id < 0:
+            process_id = int(os.environ.get("JAX_PROCESS_ID", "-1"))
+        initialize(
+            coordinator_address=config.coordinator_address or None,
+            num_processes=config.num_processes,
+            process_id=process_id if process_id >= 0 else None,
+        )
+
+
 def initialize_globals_from_cli(argv: Optional[List[str]] = None) -> SttConfig:
     config = parse_flags(argv)
+    maybe_initialize_distributed(config)
     config.resolve_alphabet()
     return config
 

@@ -124,11 +124,19 @@ def create_batches(
     pad_time_to: int = 16,
     pad_labels_to: int = 8,
     shuffle_batches: bool = True,
+    row_range: Optional[tuple] = None,
 ) -> Iterator[Batch]:
     """Yield padded Batch pytrees.
 
     reverse/limit implement the reference's pre-training longest-first
     dummy run for early OOM detection (train.py:326-340).
+
+    row_range=(start, end): multi-host input sharding — this host
+    featurizes only rows [start, end) of every global batch (the batch
+    composition, sort and epoch shuffle are deterministic and identical
+    on all hosts; the trainer re-pads the per-host shards to the agreed
+    global shape and assembles them with
+    parallel.distributed.make_global_batch).
     """
     if isinstance(sources, (list, tuple)) and sources and isinstance(sources[0], Sample):
         samples = list(sources)
@@ -155,8 +163,15 @@ def create_batches(
 
     for batch_index in order:
         chunk = samples[batch_index * batch_size : (batch_index + 1) * batch_size]
+        offsets = range(len(chunk))
+        if row_range is not None:
+            start, end = row_range
+            chunk = chunk[start:end]
+            offsets = range(start, start + len(chunk))
+            if not chunk:
+                continue
         feats_list, labels_list, ids = [], [], []
-        for offset, sample in enumerate(chunk):
+        for offset, sample in zip(offsets, chunk):
             clock = clock_base + clock_span * (
                 (batch_index * batch_size + offset) / total
             )

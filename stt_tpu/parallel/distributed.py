@@ -70,6 +70,53 @@ def make_global_batch(local_arrays, mesh, pspec):
     )
 
 
+def agree_global_padding(features, labels, pad_info=None):
+    """Re-pad this host's batch shard so every host's arrays share the
+    global (max) time/label dims — a requirement of
+    host_local_array_to_global_array. One tiny allgather of two ints per
+    batch; the padding rows are masked by the length arrays exactly like
+    single-host padding. Returns (features, labels)."""
+    from jax.experimental import multihost_utils
+
+    local = np.asarray([features.shape[1], labels.shape[1]], np.int32)
+    gathered = multihost_utils.process_allgather(local)
+    t_max, l_max = int(gathered[:, 0].max()), int(gathered[:, 1].max())
+    if t_max > features.shape[1]:
+        pad = np.zeros(
+            (features.shape[0], t_max - features.shape[1], features.shape[2]),
+            features.dtype,
+        )
+        features = np.concatenate([features, pad], axis=1)
+    if l_max > labels.shape[1]:
+        pad = np.zeros(
+            (labels.shape[0], l_max - labels.shape[1]), labels.dtype
+        )
+        labels = np.concatenate([labels, pad], axis=1)
+    return features, labels
+
+
+def local_rows(array) -> np.ndarray:
+    """This host's rows of a batch-sharded global jax.Array (np.asarray
+    would fail on non-addressable multi-host arrays). Rows come back in
+    global row order restricted to this host."""
+    try:
+        return np.asarray(array)
+    except Exception:
+        shards = sorted(
+            array.addressable_shards,
+            key=lambda s: (s.index[0].start or 0) if s.index else 0,
+        )
+        seen = set()
+        parts = []
+        for s in shards:
+            key = s.index[0].start if s.index else None
+            if key in seen:
+                continue  # replicated over a second mesh axis
+            seen.add(key)
+            parts.append(np.asarray(s.data))
+        return np.concatenate(parts)
+
+
 def allreduce_sum_across_hosts(values: np.ndarray) -> np.ndarray:
     """Sum host-side statistics (WER error/word counters, loss sums)
     across processes. Single-process: identity."""
