@@ -69,6 +69,18 @@ class SttConfig:
     reverse_train: bool = False
     limit_train: int = 0
     shuffle_batches: bool = True
+    # async input pipeline (reference: LimitingPool worker processes +
+    # per-GPU prefetch, helpers.py:124-163 / feeding.py:236):
+    # featurize/augment worker threads (-1 = auto, 0/1 = synchronous)
+    # and how many ready batches to assemble ahead of the device
+    input_workers: int = -1
+    prefetch_batches: int = 2
+    # run spectrogram/features-domain graph augmentations on device
+    # inside a jitted program (reference applied them in-graph,
+    # util/augmentations.py:485-769); host featurization then stops at
+    # the spectrogram. Single-host only; ignored (with a warning) on
+    # multi-host jobs.
+    graph_augs_on_device: bool = False
 
     # -- checkpointing -----------------------------------------------------
     checkpoint_dir: str = ""
@@ -264,10 +276,24 @@ def parse_flags(argv: Optional[List[str]] = None) -> SttConfig:
     return SttConfig(**kwargs)
 
 
+def _honor_platform_env() -> None:
+    """The axon sitecustomize hook overrides JAX_PLATFORMS at interpreter
+    start (jax.config.update('jax_platforms', 'axon,cpu')); a CLI run
+    that explicitly sets the env var means it (multi-process CPU gates
+    would otherwise silently land on the single tunneled TPU, where
+    cross-process collectives can never rendezvous)."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        import jax
+
+        jax.config.update("jax_platforms", env)
+
+
 def maybe_initialize_distributed(config: SttConfig) -> None:
     """Join the multi-host runtime when --num_processes > 1. Must run
     before anything touches jax devices (CLI entry points call it right
     after flag parsing)."""
+    _honor_platform_env()
     if config.num_processes and config.num_processes > 1:
         from stt_tpu.parallel.distributed import initialize
 

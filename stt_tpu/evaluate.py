@@ -62,16 +62,22 @@ def evaluate(
         )
 
     eval_step = make_eval_step(model_config)
+    # multi-host: hosts take test batches round-robin, then corpus
+    # WER/CER merges via cross-process counter sums
+    # (parallel/distributed.merge_wer_counters)
+    proc_id, proc_count = jax.process_index(), jax.process_count()
     reports = []
     for test_csv in test_files or config.test_files:
         results: List[SampleResult] = []
-        for batch, ids in create_batches(
+        for batch_index, (batch, ids) in enumerate(create_batches(
             [test_csv],
             alphabet,
             feature_config,
             batch_size=config.test_batch_size,
             train_phase=False,
-        ):
+        )):
+            if proc_count > 1 and batch_index % proc_count != proc_id:
+                continue
             losses, logits = eval_step(params, batch)
             probs = jax.nn.softmax(logits, axis=-1)  # stays on device
             lengths = np.asarray(batch.feature_lengths)
@@ -136,6 +142,22 @@ def evaluate(
         calculate_and_print_report(
             results, dataset_name=test_csv, report_count=config.report_count
         )
+        if proc_count > 1:
+            from stt_tpu.evaluate_tools import char_distance, word_distance
+            from stt_tpu.parallel.distributed import merge_wer_counters
+
+            wd = wn = cd = cn = 0
+            for r in results:
+                d, n = word_distance(r.src, r.res)
+                wd, wn = wd + d, wn + n
+                d, n = char_distance(r.src, r.res)
+                cd, cn = cd + d, cn + n
+            wer, cer = merge_wer_counters(wd, wn, cd, cn)
+            if proc_id == 0:
+                log_info(
+                    f"All-hosts corpus on {test_csv} - WER: {wer:.6f}, "
+                    f"CER: {cer:.6f}"
+                )
         reports.append(results)
     if config.test_output_file and reports:
         save_samples_json(

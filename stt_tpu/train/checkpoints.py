@@ -72,9 +72,14 @@ class CheckpointManager:
     # -- save/load ---------------------------------------------------------
 
     def save(self, state, tag: str = "last", dev_loss: Optional[float] = None):
+        """Multi-host contract: EVERY process must call save (orbax
+        synchronizes processes internally — a coordinator-only call
+        would desync the job's collective streams); directory mutations
+        happen on process 0 only."""
+        primary = jax.process_index() == 0
         step = int(state.step)
         path = os.path.join(self._tag_dir(tag), f"step_{step}")
-        if os.path.exists(path):
+        if primary and os.path.exists(path):
             shutil.rmtree(path)
         host_state = jax.device_get(
             {"params": state.params, "opt_state": state.opt_state,
@@ -82,6 +87,8 @@ class CheckpointManager:
         )
         self._ckptr.save(path, host_state)
         self._ckptr.wait_until_finished()
+        if not primary:
+            return path
         meta = self._read_meta()
         meta[tag] = step
         if dev_loss is not None:

@@ -165,14 +165,26 @@ def train(config: SttConfig) -> TrainState:
             if config.train_batch_size % d == 0:
                 n_data = d
     mesh = make_mesh(n_data=n_data, n_model=config.n_model_parallel)
-    p_shard = param_sharding(
-        mesh, state.params, shard_model_axis=config.n_model_parallel > 1
-    )
-    state = state._replace(
-        params=jax.device_put(state.params, p_shard),
-        opt_state=jax.device_put(state.opt_state, replicated(mesh)),
-        step=jax.device_put(state.step, replicated(mesh)),
-    )
+    if proc_count > 1:
+        # build global arrays from identical per-host copies (device_put
+        # onto a cross-process sharding implies a cross-host transfer;
+        # host_local_array_to_global_array is metadata-only)
+        from jax.sharding import PartitionSpec as P
+
+        from stt_tpu.parallel.distributed import make_global_batch
+
+        state = jax.tree.map(
+            lambda x: make_global_batch(np.asarray(x), mesh, P()), state
+        )
+    else:
+        p_shard = param_sharding(
+            mesh, state.params, shard_model_axis=config.n_model_parallel > 1
+        )
+        state = state._replace(
+            params=jax.device_put(state.params, p_shard),
+            opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+            step=jax.device_put(state.step, replicated(mesh)),
+        )
     b_shard = batch_sharding(mesh)
     b_repl = replicated(mesh)
 
@@ -216,7 +228,56 @@ def train(config: SttConfig) -> TrainState:
 
     train_samples = list(samples_from_sources(config.train_files, labeled=True))
 
+    import os as _os
+
+    input_workers = config.input_workers
+    if input_workers < 0:
+        input_workers = min(8, _os.cpu_count() or 1)
+
+    # on-device graph augmentations: host featurization stops at the
+    # spectrogram; one extra jitted program (augment chain + MFCC)
+    # runs per batch before the train step, compiled once
+    device_aug_pipeline = None
+    device_aug_step = None
+    if config.graph_augs_on_device:
+        if proc_count > 1:
+            log_warn(
+                "--graph_augs_on_device is single-host only; falling back "
+                "to host graph augmentations"
+            )
+        else:
+            from stt_tpu.data.device_augment import DeviceAugmentPipeline
+
+            pipe = DeviceAugmentPipeline(augmentations, feature_config)
+            if pipe.has_work():
+                device_aug_pipeline = pipe
+                device_aug_step = pipe.jitted()
+
     def batches(epoch: int, reverse=False, limit=0) -> Iterator[Tuple[Batch, list]]:
+        if device_aug_pipeline is not None:
+            for batch, ids, aug_params in create_batches(
+                train_samples,
+                alphabet,
+                feature_config,
+                batch_size=config.train_batch_size,
+                augmentations=augmentations,
+                train_phase=True,
+                epoch=epoch,
+                total_epochs=config.epochs,
+                reverse=reverse,
+                limit=limit,
+                drop_remainder=False,
+                shuffle_batches=config.shuffle_batches,
+                num_workers=input_workers,
+                prefetch=config.prefetch_batches,
+                device_augment=device_aug_pipeline,
+            ):
+                feats, lens = device_aug_step(
+                    batch.features, batch.feature_lengths, aug_params
+                )
+                batch = Batch(feats, lens, batch.labels, batch.label_lengths)
+                yield put_batch(batch), ids
+            return
         for batch, ids in create_batches(
             train_samples,
             alphabet,
@@ -233,6 +294,8 @@ def train(config: SttConfig) -> TrainState:
             drop_remainder=proc_count > 1,
             shuffle_batches=config.shuffle_batches,
             row_range=host_rows if proc_count > 1 else None,
+            num_workers=input_workers,
+            prefetch=config.prefetch_batches,
         ):
             yield put_batch(batch), ids
 
@@ -325,9 +388,9 @@ def train(config: SttConfig) -> TrainState:
                 log_info(f"Wrote profiler trace to {config.profile_dir}")
             if (
                 manager is not None
-                and is_coordinator
                 and time.time() - last_save > config.checkpoint_secs
             ):
+                # all processes call save (orbax syncs; fs writes on 0)
                 manager.save(state, "last")
                 last_save = time.time()
         for entry in pending:
@@ -368,14 +431,10 @@ def train(config: SttConfig) -> TrainState:
                 epochs_without_improvement = 0
             else:
                 epochs_without_improvement += 1
-            if (
-                manager is not None
-                and is_coordinator
-                and dev_loss < best_dev_loss
-            ):
+            if manager is not None and dev_loss < best_dev_loss:
                 manager.save(state, "best_dev", dev_loss=dev_loss)
             best_dev_loss = min(best_dev_loss, dev_loss)
-        if manager is not None and is_coordinator:
+        if manager is not None:
             manager.save(state, "last")
             last_save = time.time()
 
@@ -396,12 +455,21 @@ def train(config: SttConfig) -> TrainState:
         ):
             try:
                 state = manager.restore(state, "best_dev")
+                if proc_count > 1:
+                    from jax.sharding import PartitionSpec as P
+
+                    from stt_tpu.parallel.distributed import make_global_batch
+
+                    state = jax.tree.map(
+                        lambda x: make_global_batch(np.asarray(x), mesh, P()),
+                        state,
+                    )
             except FileNotFoundError:
                 pass
             new_lr = _get_learning_rate(state) * config.plateau_reduction
             state = _set_learning_rate(state, new_lr)
             log_info(f"Plateau: reloaded best checkpoint, reduced LR to {new_lr}")
 
-    if manager is not None and is_coordinator:
+    if manager is not None:
         manager.save(state, "last")
     return state

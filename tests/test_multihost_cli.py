@@ -123,3 +123,35 @@ def test_multihost_train_cli_matches_single_process(two_row_csv, tmp_path):
 
     # only the coordinator writes checkpoints
     assert (tmp_path / "mh_ckpt" / "meta.json").is_file()
+
+    # 2-process evaluate through the real CLI: hosts split test batches,
+    # corpus WER merges across processes
+    eport = free_port()
+    eaddr = f"127.0.0.1:{eport}"
+    eprocs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "stt_tpu.evaluate",
+                "--test_files", two_row_csv,
+                "--alphabet_config_path", ALPHABET,
+                "--load_checkpoint_dir", str(tmp_path / "mh_ckpt"),
+                "--n_hidden", "32",
+                "--test_batch_size", "1",
+                "--export_beam_width", "16",
+                "--coordinator_address", eaddr,
+                "--num_processes", "2",
+                "--process_id", str(pid),
+            ],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    eresults = [p.communicate(timeout=600) + (p.returncode,) for p in eprocs]
+    for out, err, rc in eresults:
+        assert rc == 0, f"multi-host evaluate failed:\n{out}\n{err}"
+    merged = re.search(
+        r"All-hosts corpus .* WER: ([0-9.]+), CER: ([0-9.]+)",
+        eresults[0][0],
+    )
+    assert merged, eresults[0][0]
