@@ -105,6 +105,38 @@ def featurize_sample(
     return mfcc_from_spectrogram_numpy(spec, feature_config)
 
 
+def featurize_sample_spectrogram(
+    sample: Sample,
+    feature_config: FeatureConfig,
+    augmentations: Sequence[Augmentation] = (),
+    clock: float = 0.0,
+) -> np.ndarray:
+    """Host half of the on-device augmentation path: sample augs +
+    signal-domain graph augs + framing/STFT on the host; the
+    spectrogram/features-domain transforms and the MFCC projection run
+    on device (data/device_augment.py)."""
+    if sample.rate != feature_config.sample_rate:
+        from stt_tpu.data.audio import resample
+
+        sample = Sample(
+            sample_id=sample.sample_id,
+            transcript=sample.transcript,
+            duration_hint=sample.duration_hint,
+            _audio=resample(
+                np.asarray(sample.audio, np.float32),
+                sample.rate,
+                feature_config.sample_rate,
+            ),
+            _rate=feature_config.sample_rate,
+        )
+    sample = apply_sample_augmentations(sample, augmentations, clock=clock)
+    audio = np.asarray(sample.audio, np.float32)
+    audio = apply_graph_augmentations(
+        "signal", audio, augmentations, clock=clock
+    )
+    return spectrogram_numpy(audio, feature_config)
+
+
 def _round_up(x: int, m: int) -> int:
     return max(m, ((x + m - 1) // m) * m)
 
@@ -125,6 +157,9 @@ def create_batches(
     pad_labels_to: int = 8,
     shuffle_batches: bool = True,
     row_range: Optional[tuple] = None,
+    num_workers: int = 0,
+    prefetch: int = 0,
+    device_augment=None,
 ) -> Iterator[Batch]:
     """Yield padded Batch pytrees.
 
@@ -137,6 +172,22 @@ def create_batches(
     on all hosts; the trainer re-pads the per-host shards to the agreed
     global shape and assembles them with
     parallel.distributed.make_global_batch).
+
+    num_workers > 1 featurizes/augments the rows of a batch on a thread
+    pool and prefetch > 0 assembles up to that many batches ahead on a
+    producer thread (the reference's LimitingPool-of-processes +
+    per-GPU-prefetch design, helpers.py:124-163 / feeding.py:236, with
+    threads: numpy FFT/BLAS and audio IO release the GIL). Results are
+    equivalent to the serial path (labels/lengths exact; features to
+    float tolerance, threaded BLAS reduction order) — every sample's
+    augmentation RNG is seeded by (sample_id, clock), never by worker
+    identity — gated by tests/test_data.py.
+
+    device_augment (a data.device_augment.DeviceAugmentPipeline): the
+    on-device graph-augmentation path — batches then carry host
+    SPECTROGRAMS ([B, T, n_bins]) and each yield becomes
+    (batch, ids, aug_params); the consumer applies the jitted
+    augment+MFCC program before the train step.
     """
     if isinstance(sources, (list, tuple)) and sources and isinstance(sources[0], Sample):
         samples = list(sources)
@@ -161,34 +212,57 @@ def create_batches(
     clock_span = 1.0 / max(total_epochs, 1)
     total = max(len(samples), 1)
 
-    for batch_index in order:
-        chunk = samples[batch_index * batch_size : (batch_index + 1) * batch_size]
-        offsets = range(len(chunk))
-        if row_range is not None:
-            start, end = row_range
-            chunk = chunk[start:end]
-            offsets = range(start, start + len(chunk))
-            if not chunk:
-                continue
-        feats_list, labels_list, ids = [], [], []
-        for offset, sample in zip(offsets, chunk):
-            clock = clock_base + clock_span * (
-                (batch_index * batch_size + offset) / total
+    def featurize_row(args):
+        offset, batch_index, sample = args
+        clock = clock_base + clock_span * (
+            (batch_index * batch_size + offset) / total
+        )
+        labels = text_to_char_array(
+            sample.transcript, alphabet, context=sample.sample_id
+        )
+        if device_augment is not None and train_phase:
+            spec = featurize_sample_spectrogram(
+                sample, feature_config, augmentations, clock
             )
-            feats = featurize_sample(
-                sample, feature_config, augmentations, train_phase, clock
+            drawn = device_augment.draw_sample(
+                sample.sample_id, spec.shape[0], clock
             )
-            labels = text_to_char_array(
-                sample.transcript, alphabet, context=sample.sample_id
-            )
-            feats_list.append(feats)
-            labels_list.append(labels)
-            ids.append(sample.sample_id)
+            return spec, labels, drawn
+        feats = featurize_sample(
+            sample, feature_config, augmentations, train_phase, clock
+        )
+        return feats, labels, None
 
+    def batch_tasks():
+        for batch_index in order:
+            chunk = samples[
+                batch_index * batch_size : (batch_index + 1) * batch_size
+            ]
+            offsets = range(len(chunk))
+            if row_range is not None:
+                start, end = row_range
+                chunk = chunk[start:end]
+                offsets = range(start, start + len(chunk))
+                if not chunk:
+                    continue
+            yield [
+                (offset, batch_index, sample)
+                for offset, sample in zip(offsets, chunk)
+            ]
+
+    def assemble(rows, results):
+        ids = [sample.sample_id for _, _, sample in rows]
+        feats_list = [feats for feats, _, _ in results]
+        labels_list = [labels for _, labels, _ in results]
+        drawn_list = [drawn for _, _, drawn in results]
+        spectrograms = device_augment is not None and train_phase
+        width = (
+            feature_config.n_bins if spectrograms else feature_config.n_mfcc
+        )
         b = len(feats_list)
         t_max = _round_up(max(f.shape[0] for f in feats_list), pad_time_to)
         l_max = _round_up(max(len(l) for l in labels_list), pad_labels_to)
-        features = np.zeros((b, t_max, feature_config.n_mfcc), np.float32)
+        features = np.zeros((b, t_max, width), np.float32)
         labels = np.zeros((b, l_max), np.int32)
         feature_lengths = np.zeros((b,), np.int32)
         label_lengths = np.zeros((b,), np.int32)
@@ -205,7 +279,66 @@ def create_batches(
         )
         # sample ids ride alongside (not inside the jit-facing pytree) so
         # the train loop can name files with non-finite losses
-        yield batch, ids
+        if spectrograms:
+            return batch, ids, device_augment.stack(drawn_list)
+        return batch, ids
 
-    for aug in augmentations:
-        aug.stop()
+    try:
+        if num_workers > 1 or prefetch > 0:
+            yield from _pipelined_batches(
+                batch_tasks(), featurize_row, assemble,
+                max(1, num_workers), max(1, prefetch),
+            )
+        else:
+            for rows in batch_tasks():
+                yield assemble(rows, [featurize_row(r) for r in rows])
+    finally:
+        for aug in augmentations:
+            aug.stop()
+
+
+def _pipelined_batches(tasks, featurize_row, assemble, num_workers, prefetch):
+    """Producer thread + featurize thread pool + bounded ready queue."""
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    ready: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _DONE = object()
+    stop = threading.Event()  # consumer abandoned the generator
+
+    def offer(item) -> bool:
+        while not stop.is_set():
+            try:
+                ready.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def produce():
+        try:
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                for rows in tasks:
+                    if stop.is_set():
+                        return
+                    results = list(pool.map(featurize_row, rows))
+                    if not offer(assemble(rows, results)):
+                        return
+            offer(_DONE)
+        except BaseException as exc:  # surface in the consumer
+            offer(exc)
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = ready.get()
+            if item is _DONE:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        thread.join(timeout=5.0)

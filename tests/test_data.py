@@ -116,6 +116,82 @@ def test_create_batches_padding_and_sorting():
     )
 
 
+def test_async_pipeline_equivalence():
+    """num_workers/prefetch featurization yields the same batches as the
+    serial path, including augmented training batches (per-sample RNG
+    seeding is worker-independent) — VERDICT r2 item 3 gate. Labels,
+    lengths and ids must match exactly; features to float tolerance
+    (OpenBLAS picks different reduction orders under thread
+    contention, ~1e-6 relative)."""
+    a = english()
+    rng = np.random.RandomState(7)
+    samples = [
+        Sample(sample_id=f"s{i}", transcript="ab cd ab"[: 3 + i % 5],
+               _audio=(rng.randn(6000 + 1500 * i) * 0.1).astype(np.float32),
+               _rate=16000)
+        for i in range(9)
+    ]
+    augs = parse_augmentations(
+        ["volume[dbfs=-6:0]", "frequency_mask[n=2]", "dropout[rate=0.05]"]
+    )
+
+    def run(num_workers, prefetch):
+        out = []
+        for batch, ids in create_batches(
+            list(samples), a, FeatureConfig(), batch_size=4,
+            augmentations=augs, train_phase=True, epoch=1, total_epochs=3,
+            num_workers=num_workers, prefetch=prefetch,
+        ):
+            out.append((ids, [np.asarray(x) for x in batch]))
+        return out
+
+    serial = run(0, 0)
+    parallel = run(4, 2)
+    assert len(serial) == len(parallel) > 0
+    for (ids_s, arrs_s), (ids_p, arrs_p) in zip(serial, parallel):
+        assert ids_s == ids_p
+        feats_s, flen_s, labels_s, llen_s = arrs_s
+        feats_p, flen_p, labels_p, llen_p = arrs_p
+        np.testing.assert_allclose(feats_s, feats_p, rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(flen_s, flen_p)
+        np.testing.assert_array_equal(labels_s, labels_p)
+        np.testing.assert_array_equal(llen_s, llen_p)
+
+
+def test_async_pipeline_abandoned_consumer():
+    """Breaking out of the generator early must not deadlock or leak a
+    blocked producer (the trainer's dummy-run probe does exactly this)."""
+    a = english()
+    rng = np.random.RandomState(8)
+    samples = [
+        Sample(sample_id=f"s{i}", transcript="ab",
+               _audio=(rng.randn(4000) * 0.1).astype(np.float32),
+               _rate=16000)
+        for i in range(12)
+    ]
+    gen = create_batches(
+        list(samples), a, FeatureConfig(), batch_size=2,
+        num_workers=3, prefetch=2,
+    )
+    next(gen)
+    gen.close()  # must return promptly
+
+
+def test_async_pipeline_propagates_errors():
+    a = english()
+    samples = [
+        Sample(sample_id="bad", transcript="§§",  # unencodable
+               _audio=np.zeros(4000, np.float32), _rate=16000)
+    ]
+    with pytest.raises(ValueError, match="Alphabet cannot encode"):
+        list(
+            create_batches(
+                samples, a, FeatureConfig(), batch_size=1,
+                num_workers=2, prefetch=2,
+            )
+        )
+
+
 def test_value_range_parsing():
     assert float_range("1.5") == (1.5, 1.5, 0.0)
     assert float_range("0.8:1.2~0.1") == (0.8, 1.2, 0.1)
