@@ -58,6 +58,12 @@ class SampleAugmentation(Augmentation):
 
 
 class GraphAugmentation(Augmentation):
+    """In-graph transforms. Each subclass separates parameter DRAWING
+    (host, cheap python rng — `draw_params`) from the tensor TRANSFORM
+    (`transform`, numpy), so the on-device twins
+    (data/device_augment.py) can apply the exact same drawn parameters
+    with jnp ops inside a jitted program."""
+
     def __init__(self, p=1.0, domain="spectrogram"):
         super().__init__(p)
         if domain not in ("signal", "spectrogram", "features"):
@@ -68,8 +74,16 @@ class GraphAugmentation(Augmentation):
         """Time units per millisecond in this domain (augmentations.py:60)."""
         return 16 if self.domain == "signal" else 1.0 / feature_step_ms
 
-    def apply(self, tensor, clock=0.0, rng=None):
+    def draw_params(self, shape, clock=0.0, rng=None) -> dict:
         raise NotImplementedError
+
+    def transform(self, tensor, params: dict):
+        raise NotImplementedError
+
+    def apply(self, tensor, clock=0.0, rng=None):
+        return self.transform(
+            tensor, self.draw_params(tensor.shape, clock=clock, rng=rng)
+        )
 
 
 # -- sample (host audio) augmentations --------------------------------------
@@ -248,10 +262,14 @@ class Pitch(GraphAugmentation):
         super().__init__(p, domain="spectrogram")
         self.pitch = float_range(pitch)
 
-    def apply(self, tensor, clock=0.0, rng=None):
+    def draw_params(self, shape, clock=0.0, rng=None):
+        return {
+            "pitch": pick_value_from_range(self.pitch, clock=clock, rng=rng)
+        }
+
+    def transform(self, tensor, params):
         t, f = tensor.shape
-        pitch = pick_value_from_range(self.pitch, clock=clock, rng=rng)
-        new_f = max(1, int(f * pitch))
+        new_f = max(1, int(f * params["pitch"]))
         resized = _bilinear_resize(tensor, t, new_f)
         if new_f >= f:
             return resized[:, :f]
@@ -268,15 +286,30 @@ class Tempo(GraphAugmentation):
         self.factor = float_range(factor)
         self.max_time = float(max_time)
 
-    def apply(self, tensor, clock=0.0, rng=None, transcript_len: int = 0):
-        t, f = tensor.shape
-        factor = pick_value_from_range(self.factor, clock=clock, rng=rng)
+    def draw_params(self, shape, clock=0.0, rng=None):
+        return {
+            "factor": pick_value_from_range(self.factor, clock=clock, rng=rng)
+        }
+
+    def new_time(self, t: int, factor: float, transcript_len: int = 0) -> int:
         new_t = max(1, int(t / factor))
         if transcript_len:
             new_t = max(new_t, transcript_len)
         if self.max_time > 0:
             new_t = min(new_t, int(self.max_time * self.units_per_ms()))
+        return new_t
+
+    def transform(self, tensor, params, transcript_len: int = 0):
+        t, f = tensor.shape
+        new_t = self.new_time(t, params["factor"], transcript_len)
         return _bilinear_resize(tensor, new_t, f)
+
+    def apply(self, tensor, clock=0.0, rng=None, transcript_len: int = 0):
+        return self.transform(
+            tensor,
+            self.draw_params(tensor.shape, clock=clock, rng=rng),
+            transcript_len,
+        )
 
 
 class Warp(GraphAugmentation):
@@ -289,11 +322,11 @@ class Warp(GraphAugmentation):
         self.warp_t = float_range(warp_t)
         self.warp_f = float_range(warp_f)
 
-    def apply(self, tensor, clock=0.0, rng=None):
+    def draw_params(self, shape, clock=0.0, rng=None):
+        t, f = shape
         np_rng = np.random.default_rng(
-            abs(hash((round(clock, 6), tensor.shape))) % (2**32)
+            abs(hash((round(clock, 6), tuple(shape)))) % (2**32)
         )
-        t, f = tensor.shape
         num_t = pick_value_from_range(self.num_t, clock=clock, rng=rng)
         num_f = pick_value_from_range(self.num_f, clock=clock, rng=rng)
 
@@ -301,10 +334,17 @@ class Warp(GraphAugmentation):
             warp = pick_value_from_range(warp_range, clock=clock, rng=rng)
             std = warp * size / (2 * (n + 1))
             inner = np_rng.normal(0.0, max(std, 0.0), (num_t, num_f))
-            return np.pad(inner, 1)
+            return np.pad(inner, 1).astype(np.float32)
 
-        flow_t = _bilinear_resize(flow_grid(num_t, t, self.warp_t), t, f)
-        flow_f = _bilinear_resize(flow_grid(num_f, f, self.warp_f), t, f)
+        return {
+            "grid_t": flow_grid(num_t, t, self.warp_t),
+            "grid_f": flow_grid(num_f, f, self.warp_f),
+        }
+
+    def transform(self, tensor, params):
+        t, f = tensor.shape
+        flow_t = _bilinear_resize(params["grid_t"], t, f)
+        flow_f = _bilinear_resize(params["grid_f"], t, f)
         # dense_image_warp: output(x) = input(x - flow) with bilinear sampling
         ys = np.clip(np.arange(t)[:, None] - flow_t, 0, t - 1)
         xs = np.clip(np.arange(f)[None, :] - flow_f, 0, f - 1)
@@ -327,13 +367,23 @@ class FrequencyMask(GraphAugmentation):
         self.n = int_range(n)
         self.size = int_range(size)
 
-    def apply(self, tensor, clock=0.0, rng=None):
-        t, f = tensor.shape
-        out = np.array(tensor)
+    def draw_params(self, shape, clock=0.0, rng=None):
+        t, f = shape
         n = pick_value_from_range(self.n, clock=clock, rng=rng)
+        starts, sizes = [], []
         for _ in range(n):
             size = max(1, min(f - 1, pick_value_from_range(self.size, clock=clock, rng=rng)))
             f0 = int((rng.random() if rng else np.random.random()) * (f - size))
+            starts.append(f0)
+            sizes.append(size)
+        return {
+            "starts": np.asarray(starts, np.int32),
+            "sizes": np.asarray(sizes, np.int32),
+        }
+
+    def transform(self, tensor, params):
+        out = np.array(tensor)
+        for f0, size in zip(params["starts"], params["sizes"]):
             out[:, f0 : f0 + size] = 0.0
         return out
 
@@ -344,10 +394,10 @@ class TimeMask(GraphAugmentation):
         self.n = int_range(n)
         self.size = float_range(size)
 
-    def apply(self, tensor, clock=0.0, rng=None):
-        time_max = tensor.shape[0]
-        out = np.array(tensor)
+    def draw_params(self, shape, clock=0.0, rng=None):
+        time_max = shape[0]
         n = pick_value_from_range(self.n, clock=clock, rng=rng)
+        starts, sizes = [], []
         for _ in range(n):
             size = int(
                 pick_value_from_range(self.size, clock=clock, rng=rng)
@@ -355,6 +405,16 @@ class TimeMask(GraphAugmentation):
             )
             size = max(1, min(time_max - 1, size))
             t0 = int((rng.random() if rng else np.random.random()) * (time_max - size))
+            starts.append(t0)
+            sizes.append(size)
+        return {
+            "starts": np.asarray(starts, np.int32),
+            "sizes": np.asarray(sizes, np.int32),
+        }
+
+    def transform(self, tensor, params):
+        out = np.array(tensor)
+        for t0, size in zip(params["starts"], params["sizes"]):
             out[t0 : t0 + size] = 0.0
         return out
 
@@ -364,12 +424,17 @@ class Dropout(GraphAugmentation):
         super().__init__(p, domain=domain)
         self.rate = float_range(rate)
 
-    def apply(self, tensor, clock=0.0, rng=None):
-        rate = max(0.0, pick_value_from_range(self.rate, clock=clock, rng=rng))
-        np_rng = np.random.default_rng(
-            int((rng.random() if rng else np.random.random()) * 2**31)
-        )
-        keep = np_rng.random(tensor.shape) >= rate
+    def draw_params(self, shape, clock=0.0, rng=None):
+        return {
+            "rate": max(
+                0.0, pick_value_from_range(self.rate, clock=clock, rng=rng)
+            ),
+            "seed": int((rng.random() if rng else np.random.random()) * 2**31),
+        }
+
+    def transform(self, tensor, params):
+        np_rng = np.random.default_rng(params["seed"])
+        keep = np_rng.random(tensor.shape) >= params["rate"]
         return tensor * keep
 
 
@@ -378,12 +443,17 @@ class Add(GraphAugmentation):
         super().__init__(p, domain=domain)
         self.stddev = float_range(stddev)
 
-    def apply(self, tensor, clock=0.0, rng=None):
-        stddev = pick_value_from_range(self.stddev, clock=clock, rng=rng)
-        np_rng = np.random.default_rng(
-            int((rng.random() if rng else np.random.random()) * 2**31)
+    def draw_params(self, shape, clock=0.0, rng=None):
+        return {
+            "stddev": pick_value_from_range(self.stddev, clock=clock, rng=rng),
+            "seed": int((rng.random() if rng else np.random.random()) * 2**31),
+        }
+
+    def transform(self, tensor, params):
+        np_rng = np.random.default_rng(params["seed"])
+        return tensor + np_rng.normal(
+            0.0, abs(params["stddev"]), tensor.shape
         )
-        return tensor + np_rng.normal(0.0, abs(stddev), tensor.shape)
 
 
 class Multiply(GraphAugmentation):
@@ -391,12 +461,17 @@ class Multiply(GraphAugmentation):
         super().__init__(p, domain=domain)
         self.stddev = float_range(stddev)
 
-    def apply(self, tensor, clock=0.0, rng=None):
-        stddev = pick_value_from_range(self.stddev, clock=clock, rng=rng)
-        np_rng = np.random.default_rng(
-            int((rng.random() if rng else np.random.random()) * 2**31)
+    def draw_params(self, shape, clock=0.0, rng=None):
+        return {
+            "stddev": pick_value_from_range(self.stddev, clock=clock, rng=rng),
+            "seed": int((rng.random() if rng else np.random.random()) * 2**31),
+        }
+
+    def transform(self, tensor, params):
+        np_rng = np.random.default_rng(params["seed"])
+        return tensor * np_rng.normal(
+            1.0, abs(params["stddev"]), tensor.shape
         )
-        return tensor * np_rng.normal(1.0, abs(stddev), tensor.shape)
 
 
 # -- parsing + application --------------------------------------------------
