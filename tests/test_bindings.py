@@ -108,6 +108,111 @@ def test_marshaling_struct_layouts_match_header():
     ]
 
 
+def test_struct_abi_offsets_match_compiled_header(tmp_path):
+    """Runtime ABI gate (VERDICT r2 item 7): the C compiler's actual
+    offsetof/sizeof for TokenMetadata/CandidateTranscript/Metadata is
+    the ground truth; every layer that RE-DECLARES the structs (the
+    .NET P/Invoke raw structs, the ctypes mirror the test/client
+    harnesses use) must reproduce byte-exact offsets — field-order
+    string checks cannot catch a padding or type-width bug."""
+    import ctypes
+    import json
+    import subprocess
+
+    header_dir = Path(__file__).resolve().parent.parent / "stt_tpu" / "native"
+    src = tmp_path / "abi.c"
+    src.write_text(
+        '#include <stdio.h>\n#include <stddef.h>\n#include "stt_tpu.h"\n'
+        "int main(){printf(\""
+        '{\\"TokenMetadata\\":{\\"size\\":%zu,\\"text\\":%zu,'
+        '\\"timestep\\":%zu,\\"start_time\\":%zu},'
+        '\\"CandidateTranscript\\":{\\"size\\":%zu,\\"tokens\\":%zu,'
+        '\\"num_tokens\\":%zu,\\"confidence\\":%zu},'
+        '\\"Metadata\\":{\\"size\\":%zu,\\"transcripts\\":%zu,'
+        '\\"num_transcripts\\":%zu}}\\n",'
+        "sizeof(TokenMetadata),offsetof(TokenMetadata,text),"
+        "offsetof(TokenMetadata,timestep),offsetof(TokenMetadata,start_time),"
+        "sizeof(CandidateTranscript),offsetof(CandidateTranscript,tokens),"
+        "offsetof(CandidateTranscript,num_tokens),"
+        "offsetof(CandidateTranscript,confidence),"
+        "sizeof(Metadata),offsetof(Metadata,transcripts),"
+        "offsetof(Metadata,num_transcripts));return 0;}\n"
+    )
+    exe = tmp_path / "abi"
+    subprocess.run(
+        ["cc", f"-I{header_dir}", str(src), "-o", str(exe)], check=True
+    )
+    truth = json.loads(subprocess.run(
+        [str(exe)], capture_output=True, text=True, check=True
+    ).stdout)
+
+    # ctypes mirror (what test_c_api.py / the python client marshal with)
+    class TokenMetadata(ctypes.Structure):
+        _fields_ = [
+            ("text", ctypes.c_char_p),
+            ("timestep", ctypes.c_uint),
+            ("start_time", ctypes.c_float),
+        ]
+
+    class CandidateTranscript(ctypes.Structure):
+        _fields_ = [
+            ("tokens", ctypes.POINTER(TokenMetadata)),
+            ("num_tokens", ctypes.c_uint),
+            ("confidence", ctypes.c_double),
+        ]
+
+    class Metadata(ctypes.Structure):
+        _fields_ = [
+            ("transcripts", ctypes.POINTER(CandidateTranscript)),
+            ("num_transcripts", ctypes.c_uint),
+        ]
+
+    for cls, name in [
+        (TokenMetadata, "TokenMetadata"),
+        (CandidateTranscript, "CandidateTranscript"),
+        (Metadata, "Metadata"),
+    ]:
+        assert ctypes.sizeof(cls) == truth[name]["size"], name
+        for field, _ in cls._fields_:
+            assert (
+                getattr(cls, field).offset == truth[name][field]
+            ), (name, field)
+
+    # .NET raw structs: map the C# field types onto ctypes and demand
+    # the same layout the C compiler produced
+    cs = (BINDINGS / "dotnet" / "STTClient" / "STT.cs").read_text()
+    cs_to_ctypes = {
+        "IntPtr": ctypes.c_void_p,
+        "uint": ctypes.c_uint32,
+        "int": ctypes.c_int32,
+        "float": ctypes.c_float,
+        "double": ctypes.c_double,
+    }
+    for cs_struct, c_struct in [
+        ("RawToken", "TokenMetadata"),
+        ("RawTranscript", "CandidateTranscript"),
+        ("RawMetadata", "Metadata"),
+    ]:
+        body = re.search(
+            r"struct %s\s*\{(.*?)\}" % cs_struct, cs, re.S
+        ).group(1)
+        fields = re.findall(r"internal (\w+) (\w+);", body)
+        assert fields, cs_struct
+        ct_fields = [
+            (fname, cs_to_ctypes[ftype]) for ftype, fname in fields
+        ]
+        mirrored = type(
+            f"Cs{cs_struct}",
+            (ctypes.Structure,),
+            {"_fields_": ct_fields},
+        )
+        assert ctypes.sizeof(mirrored) == truth[c_struct]["size"], cs_struct
+        for fname, _ in ct_fields:
+            assert (
+                getattr(mirrored, fname).offset == truth[c_struct][fname]
+            ), (cs_struct, fname)
+
+
 def test_js_class_surface_matches_reference_shape():
     """index.js must expose the reference's Model/Stream method names."""
     js = (BINDINGS / "javascript" / "index.js").read_text()
