@@ -16,9 +16,13 @@ import glob
 import os
 
 from stt_tpu.tools.importers import (
+    LabelFilter,
+    add_filter_args,
     ensure_wav,
     filter_sample,
+    format_transcript,
     get_counter,
+    label_filter_from_args,
     print_import_report,
     validate_label_eng,
     write_samples_csv,
@@ -30,7 +34,10 @@ ARCHIVE_DIR_NAME = "cv_corpus_v1"
 
 
 def convert_catalog(extracted_dir: str, source_csv: str, target_csv: str,
-                    validate_label=validate_label_eng):
+                    validate_label=validate_label_eng, filter_obj=None,
+                    space_after_every_character=False):
+    if filter_obj is None:
+        filter_obj = LabelFilter(validate_fun=validate_label)
     counter = get_counter()
     rows = []
     missing_mp3 = 0
@@ -43,11 +50,15 @@ def convert_catalog(extracted_dir: str, source_csv: str, target_csv: str,
                 counter["all"] += 1
                 counter["failed"] += 1
                 continue
-            label = validate_label(entry["text"])
+            label = filter_obj.filter(entry["text"])
             row = filter_sample(wav, label, counter, MAX_SECS,
                                 min_ms_per_char=10.0 / 2)
             if row:
-                rows.append(row)
+                wav_f, size, text = row
+                rows.append(
+                    (wav_f, size,
+                     format_transcript(text, space_after_every_character))
+                )
     if missing_mp3:
         print(
             f"Warning: {missing_mp3} clips could not be decoded "
@@ -58,20 +69,30 @@ def convert_catalog(extracted_dir: str, source_csv: str, target_csv: str,
     return target_csv
 
 
-def preprocess_data(target_dir: str):
+def preprocess_data(target_dir: str, filter_obj=None,
+                    space_after_every_character=False):
     extracted_dir = os.path.join(target_dir, ARCHIVE_DIR_NAME)
     csvs = []
     for source_csv in sorted(glob.glob(os.path.join(extracted_dir, "*.csv"))):
         out = os.path.join(target_dir, os.path.basename(source_csv))
-        csvs.append(convert_catalog(extracted_dir, source_csv, out))
+        csvs.append(convert_catalog(
+            extracted_dir, source_csv, out, filter_obj=filter_obj,
+            space_after_every_character=space_after_every_character,
+        ))
     return csvs
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("target_dir", help=f"dir containing {ARCHIVE_DIR_NAME}/")
+    parser.add_argument("--validate_label_locale")
+    add_filter_args(parser)
     args = parser.parse_args(argv)
-    preprocess_data(args.target_dir)
+    preprocess_data(
+        args.target_dir,
+        filter_obj=label_filter_from_args(args),
+        space_after_every_character=args.space_after_every_character,
+    )
 
 
 if __name__ == "__main__":

@@ -85,6 +85,74 @@ def get_validate_label(args):
     return importlib.import_module(module_name).validate_label
 
 
+class LabelFilter:
+    """Transcript filter chain (bin/import_cv2.py:35-51 parity):
+    optional NFKD-normalize to base ascii characters, the per-locale
+    validate function, then an optional alphabet membership filter.
+    Returns None to drop the sample."""
+
+    def __init__(self, normalize=False, alphabet=None, validate_fun=None):
+        self.normalize = bool(normalize)
+        self.alphabet = alphabet
+        self.validate_fun = validate_fun or validate_label_eng
+
+    def filter(self, label):
+        import unicodedata
+
+        if label is None:
+            return None
+        if self.normalize:
+            label = (
+                unicodedata.normalize("NFKD", label.strip())
+                .encode("ascii", "ignore")
+                .decode("ascii", "ignore")
+            )
+        label = self.validate_fun(label)
+        if self.alphabet and label and not self.alphabet.can_encode(label):
+            label = None
+        return label
+
+
+def add_filter_args(parser: argparse.ArgumentParser) -> None:
+    """The reference's shared transcript-filter flags
+    (bin/import_cv2.py:217-239)."""
+    parser.add_argument(
+        "--filter_alphabet",
+        help="Exclude samples with characters not in provided alphabet",
+    )
+    parser.add_argument(
+        "--normalize",
+        action="store_true",
+        help="Converts diacritic characters to their base ones",
+    )
+    parser.add_argument(
+        "--space_after_every_character",
+        action="store_true",
+        help="To help transcript join by white space",
+    )
+
+
+def label_filter_from_args(args) -> LabelFilter:
+    alphabet = None
+    if getattr(args, "filter_alphabet", None):
+        from stt_tpu.alphabet import Alphabet
+
+        alphabet = Alphabet(args.filter_alphabet)
+    return LabelFilter(
+        normalize=getattr(args, "normalize", False),
+        alphabet=alphabet,
+        validate_fun=get_validate_label(args),
+    )
+
+
+def format_transcript(label: str, space_after_every_character: bool) -> str:
+    """CSV transcript formatting: optionally join every character by a
+    space (bin/import_cv2.py _maybe_convert_set)."""
+    if space_after_every_character:
+        return " ".join(label)
+    return label
+
+
 CSV_COLUMNS = ("wav_filename", "wav_filesize", "transcript")
 
 
