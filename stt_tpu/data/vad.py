@@ -9,6 +9,16 @@ webrtcvad is not available in this image, so the frame classifier is an
 adaptive log-energy detector; the segmentation state machine (ring
 buffer, 90% trigger/detrigger ratio) mirrors the reference exactly, and
 the classifier is pluggable for environments that have webrtcvad.
+
+Aggressiveness mapping (webrtcvad's 0-3 scale direction, quantified in
+tests/test_vad_quantified.py): the voicing threshold sits at
+(15 + 10*aggressiveness)% of the per-utterance noise-floor->peak energy
+range, so 0 is the most permissive and 3 the strictest. Measured drift
+vs constructed ground truth: boundaries within 0.35 s on synthetic
+speech/silence and within a true span +-0.5 s on real (LDC93S1)
+speech; >=90-95% of true speech covered; silence leak bounded by the
+state machine's 300 ms padding prepend (the reference leaks the same
+way).
 """
 
 from __future__ import annotations
