@@ -130,7 +130,9 @@ _H2 = np.int32(69069)
 
 
 def _beam_step(state, inp, *, beam: int, n_class: int,
-               cutoff_top_n: int, cutoff_prob: float):
+               cutoff_top_n: int, cutoff_prob: float,
+               blank_id: Optional[int] = None,
+               ignored_symbols: Tuple[int, ...] = ()):
     """One frame of CTC prefix beam search over slot arrays.
 
     state: (p_b [W], p_nb [W], last [W] i32,
@@ -138,11 +140,23 @@ def _beam_step(state, inp, *, beam: int, n_class: int,
             the parent string (prefix minus last char), started bool)
     inp:   ([C] softmax probabilities for this frame, valid-frame bool).
     Returns new state and (bp_src [W], bp_char [W]) backpointers.
+
+    blank_id/ignored_symbols support external (wav2vec2-style) class
+    layouts (ctc_beam_search_decoder.cpp:73-110): blank may sit at any
+    index and control symbols are dropped from expansion; the candidate
+    iteration order then mirrors Wav2vec2DecoderState._pruned_emissions
+    (non-ignored tokens in index order, blank LAST).
     """
     p_b, p_nb, last, ha, hb, par_ha, par_hb, started = state
     prob, valid = inp
     W, C = beam, n_class
-    blank = C - 1
+    default_blank = blank_id is None
+    blank = C - 1 if default_blank else int(blank_id)
+    not_ignored_np = np.ones((C,), bool)
+    for sym in ignored_symbols:
+        not_ignored_np[int(sym)] = False
+    not_ignored_np[blank] = True
+    not_ignored = jnp.asarray(not_ignored_np)
 
     # delayed-expansion gate (cpp:120-131); padding frames can't trip it
     started = started | ((prob[blank] < 0.999) & valid)
@@ -151,7 +165,10 @@ def _beam_step(state, inp, *, beam: int, n_class: int,
     # ---- emission pruning (oracle semantics: _pruned_emissions) --------
     cand_logp = jnp.log(prob + _FLT_MIN)  # [C]
     if cutoff_prob < 1.0 or cutoff_top_n < C:
-        svals, sidx = jax.lax.top_k(prob, C)
+        # ignored symbols sort at 0 probability: after every real
+        # candidate, zero cumulative mass (the oracle excludes them)
+        sort_probs = jnp.where(not_ignored, prob, 0.0)
+        svals, sidx = jax.lax.top_k(sort_probs, C)
         rank = jnp.zeros((C,), jnp.int32).at[sidx].set(jnp.arange(C, dtype=jnp.int32))
         if cutoff_prob < 1.0:
             cum = jnp.cumsum(svals)
@@ -160,10 +177,23 @@ def _beam_step(state, inp, *, beam: int, n_class: int,
             cutoff_len = jnp.where(jnp.any(trigger), jnp.argmax(trigger) + 1, C)
         else:
             cutoff_len = jnp.asarray(C, jnp.int32)  # top_n alone: sort only
-        included = rank < cutoff_len
+        included = (rank < cutoff_len) & not_ignored
     else:
-        rank = jnp.arange(C, dtype=jnp.int32)  # oracle iterates index order
-        included = jnp.ones((C,), bool)
+        if default_blank and not ignored_symbols:
+            # oracle iterates plain index order
+            rank = jnp.arange(C, dtype=jnp.int32)
+        else:
+            # wav2vec2 oracle order: non-ignored, non-blank tokens in
+            # index order, then blank last
+            order = [
+                i for i in range(C) if not_ignored_np[i] and i != blank
+            ]
+            order.append(blank)
+            rank_np = np.full((C,), C - 1, np.int32)
+            for pos_i, tok in enumerate(order):
+                rank_np[tok] = pos_i
+            rank = jnp.asarray(rank_np)
+        included = not_ignored
 
     score = _lse(p_b, p_nb)  # [W]
     alive = score > NEG_INF
@@ -306,9 +336,13 @@ def _beam_step(state, inp, *, beam: int, n_class: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("beam_width", "cutoff_top_n", "cutoff_prob"),
+    static_argnames=(
+        "beam_width", "cutoff_top_n", "cutoff_prob", "blank_id",
+        "ignored_symbols",
+    ),
 )
-def _device_beam_scan(probs, seq_len, beam_width, cutoff_top_n, cutoff_prob):
+def _device_beam_scan(probs, seq_len, beam_width, cutoff_top_n, cutoff_prob,
+                      blank_id=None, ignored_symbols=()):
     """[B, T, C] probs -> backpointers + final beam state (all on device)."""
     B, T, C = probs.shape
     W = beam_width
@@ -333,6 +367,8 @@ def _device_beam_scan(probs, seq_len, beam_width, cutoff_top_n, cutoff_prob):
                 n_class=C,
                 cutoff_top_n=cutoff_top_n,
                 cutoff_prob=cutoff_prob,
+                blank_id=blank_id,
+                ignored_symbols=ignored_symbols,
             )
 
         ts = jnp.arange(T, dtype=jnp.int32)
@@ -345,25 +381,129 @@ def _device_beam_scan(probs, seq_len, beam_width, cutoff_top_n, cutoff_prob):
     return scores, src, char
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "cutoff_top_n", "cutoff_prob"),
+)
+def _device_beam_chunk(state, probs, n_valid, beam_width, cutoff_top_n,
+                       cutoff_prob):
+    """Advance one stream's beam state over a [n, C] chunk (frames past
+    n_valid are masked no-ops). Returns (state', bp_src [n, W],
+    bp_char [n, W])."""
+    n, C = probs.shape
+
+    def step(st, inp):
+        prob, t = inp
+        return _beam_step(
+            st,
+            (prob, t < n_valid),
+            beam=beam_width,
+            n_class=C,
+            cutoff_top_n=cutoff_top_n,
+            cutoff_prob=cutoff_prob,
+        )
+
+    ts = jnp.arange(n, dtype=jnp.int32)
+    state, (src, char) = jax.lax.scan(step, state, (probs, ts))
+    return state, src, char
+
+
+class DeviceStreamingDecoder:
+    """Stateful no-LM beam decoder whose per-frame expansion/prune runs
+    on device — the streaming counterpart of device_beam_search, with
+    the DecoderState surface the stream runtime consumes (next/decode).
+
+    Per chunk, ONE jitted scan advances the beam; the backpointer
+    tables stay on device until a decode() call pulls them (so feeding
+    audio transfers nothing decode-related at all). Equivalence with
+    the host oracle is inherited from the shared _beam_step and gated
+    in tests/test_device_decoder.py.
+    """
+
+    def __init__(
+        self,
+        alphabet: Alphabet,
+        beam_size: int,
+        cutoff_prob: float = 1.0,
+        cutoff_top_n: int = 40,
+    ):
+        self.alphabet = alphabet
+        self.beam_size = int(beam_size)
+        self.cutoff_prob = float(cutoff_prob)
+        self.cutoff_top_n = int(cutoff_top_n)
+        W = self.beam_size
+        self._state = (
+            jnp.full((W,), NEG_INF).at[0].set(0.0),
+            jnp.full((W,), NEG_INF),
+            jnp.full((W,), -1, jnp.int32),
+            jnp.zeros((W,), jnp.int32).at[0].set(1),
+            jnp.zeros((W,), jnp.int32).at[0].set(1),
+            jnp.zeros((W,), jnp.int32),
+            jnp.zeros((W,), jnp.int32),
+            jnp.asarray(False),
+        )
+        self._chunks: List[tuple] = []  # device (src, char, n_valid)
+
+    def next(self, probs, n_valid: Optional[int] = None) -> None:
+        """[n, C] softmax chunk — device arrays are consumed in place
+        (no host visit). Pass n_valid < n for a padded flush chunk so
+        the chunk shape (and compilation) stays fixed."""
+        probs = jnp.asarray(probs, jnp.float32)
+        n = int(probs.shape[0])
+        if n_valid is None:
+            n_valid = n
+        if n_valid <= 0:
+            return
+        self._state, src, char = _device_beam_chunk(
+            self._state, probs, jnp.asarray(n_valid, jnp.int32),
+            self.beam_size, self.cutoff_top_n, self.cutoff_prob,
+        )
+        self._chunks.append((src, char, n_valid))
+
+    def next_pruned(self, *_args, **_kw):  # pragma: no cover
+        raise NotImplementedError(
+            "DeviceStreamingDecoder consumes full probs on device; "
+            "pruned emissions are a host-decoder transport"
+        )
+
+    def decode(self, num_results: int = 1) -> List[DecodeResult]:
+        scores = np.asarray(_lse(self._state[0], self._state[1]))
+        if not self._chunks:
+            return [DecodeResult(0.0, "", [], [])]
+        src = np.concatenate(
+            [np.asarray(s)[:n] for s, _, n in self._chunks]
+        )
+        char = np.concatenate(
+            [np.asarray(c)[:n] for _, c, n in self._chunks]
+        )
+        return rebuild_results(scores, src, char, self.alphabet, num_results)
+
+
 def device_beam_search(
     probs,
     seq_lengths,
     beam_width: int = 128,
     cutoff_top_n: int = 40,
     cutoff_prob: float = 1.0,
+    blank_id: Optional[int] = None,
+    ignored_symbols: Sequence[int] = (),
 ):
     """Run the on-device no-LM beam search over a [B, T, C] batch.
 
     Returns (scores [B, W] np, bp_src [B, T, W] np, bp_char [B, T, W] np)
     — everything else (strings, timesteps) is host rebuild via
-    ``rebuild_results``.
+    ``rebuild_results``. blank_id/ignored_symbols cover external
+    (wav2vec2-style) class layouts.
     """
     probs = jnp.asarray(probs, jnp.float32)
     if probs.ndim == 2:
         probs = probs[None]
     seq_len = jnp.atleast_1d(jnp.asarray(seq_lengths, jnp.int32))
     scores, src, char = _device_beam_scan(
-        probs, seq_len, int(beam_width), int(cutoff_top_n), float(cutoff_prob)
+        probs, seq_len, int(beam_width), int(cutoff_top_n),
+        float(cutoff_prob),
+        None if blank_id is None else int(blank_id),
+        tuple(int(i) for i in ignored_symbols),
     )
     return np.asarray(scores), np.asarray(src), np.asarray(char)
 

@@ -127,8 +127,14 @@ class Model:
 
     # -- recognition -------------------------------------------------------
 
-    def create_stream(self, device_prune: Optional[bool] = None) -> "Stream":
-        return Stream(self, device_prune=device_prune)
+    def create_stream(
+        self,
+        device_prune: Optional[bool] = None,
+        device_decode: Optional[bool] = None,
+    ) -> "Stream":
+        return Stream(
+            self, device_prune=device_prune, device_decode=device_decode
+        )
 
     def stt(self, audio) -> str:
         stream = self.create_stream()
@@ -145,7 +151,7 @@ class Model:
         (STT_SpeechToTextWithEmissions surface). Full-width probs must
         reach the host here, so device-side emission pruning is forced
         off for this stream."""
-        stream = self.create_stream(device_prune=False)
+        stream = self.create_stream(device_prune=False, device_decode=False)
         stream.feed_audio_content(audio)
         text = stream.finish_stream()
         return text, stream._state.probs_history
@@ -194,7 +200,8 @@ class Model:
 
 
 class Stream:
-    def __init__(self, model: Model, device_prune: Optional[bool] = None):
+    def __init__(self, model: Model, device_prune: Optional[bool] = None,
+                 device_decode: Optional[bool] = None):
         self.model = model
         self._state = StreamState(
             model._runtime,
@@ -204,6 +211,7 @@ class Stream:
             scorer=model.scorer,
             hot_words=model.hot_words or None,
             device_prune=device_prune,
+            device_decode=device_decode,
         )
 
     def feed_audio_content(self, audio) -> None:

@@ -147,9 +147,22 @@ class StreamState:
         scorer: Optional[ScorerBase] = None,
         hot_words: Optional[Dict[str, float]] = None,
         device_prune: Optional[bool] = None,
+        device_decode: Optional[bool] = None,
     ):
         self.runtime = runtime
         mc = runtime.model_config
+        # device_decode: run the WHOLE per-frame beam expansion/prune on
+        # device (no-LM only) — nothing decode-related crosses to the
+        # host while feeding; backpointers pull lazily at decode().
+        # None = auto: on when there is no scorer and the backend is an
+        # accelerator (on CPU the native C++ decoder is faster).
+        if device_decode is None:
+            device_decode = (
+                scorer is None
+                and hot_words is None
+                and jax.default_backend() != "cpu"
+            )
+        self.device_decode = bool(device_decode) and scorer is None
         # None = auto: prune on device when it shrinks the chunk transfer;
         # pruning disables probs_history (the emissions surface never
         # materializes full-width probabilities on the host)
@@ -157,7 +170,7 @@ class StreamState:
             device_prune = auto_device_prune(
                 mc.n_out, cutoff_top_n, cutoff_prob
             )
-        self.device_prune = bool(device_prune)
+        self.device_prune = bool(device_prune) and not self.device_decode
         self._cutoff_top_n = cutoff_top_n
         self._cutoff_prob = cutoff_prob
         self._audio: np.ndarray = np.zeros((0,), np.float32)
@@ -166,12 +179,19 @@ class StreamState:
         self._left_ctx = jnp.zeros((mc.n_context, mc.n_input), jnp.float32)
         self._c, self._h = runtime.zero_state()
         self._probs_history: List[np.ndarray] = []
-        from stt_tpu.decode.beam import make_decoder_state
+        if self.device_decode:
+            from stt_tpu.decode.device import DeviceStreamingDecoder
 
-        self.decoder = make_decoder_state(
-            runtime.alphabet, beam_width, cutoff_prob, cutoff_top_n,
-            scorer, hot_words,
-        )
+            self.decoder = DeviceStreamingDecoder(
+                runtime.alphabet, beam_width, cutoff_prob, cutoff_top_n
+            )
+        else:
+            from stt_tpu.decode.beam import make_decoder_state
+
+            self.decoder = make_decoder_state(
+                runtime.alphabet, beam_width, cutoff_prob, cutoff_top_n,
+                scorer, hot_words,
+            )
         # one in-flight (device_probs, valid): its host copy overlaps the
         # next chunk's compute + the beam step, hiding the transfer RTT
         self._inflight = None
@@ -230,13 +250,18 @@ class StreamState:
                 self._c,
                 self._h,
             )
-        for arr in jax.tree.leaves(out):
-            try:
-                arr.copy_to_host_async()
-            except AttributeError:
-                pass
-        self._drain()  # previous chunk's transfer has had a chunk to finish
-        self._inflight = (out, valid)
+        if self.device_decode:
+            # the beam step consumes the device probs directly; nothing
+            # decode-related crosses to the host while feeding
+            self.decoder.next(out, n_valid=valid)
+        else:
+            for arr in jax.tree.leaves(out):
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    pass
+            self._drain()  # previous transfer had a chunk to finish
+            self._inflight = (out, valid)
         # left context for the next chunk = last n_ctx frames before it
         self._left_ctx = stacked[valid : valid + n_ctx]
         self._pending = self._pending[valid:]

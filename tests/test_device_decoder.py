@@ -291,6 +291,71 @@ def test_stream_device_prune_equivalence(trained_smoke):
         assert pruned.confidence == pytest.approx(full.confidence, abs=1e-3)
 
 
+def test_stream_device_decode_equivalence(trained_smoke):
+    """StreamState with the FULL on-device beam (device_decode=True):
+    transcripts/timesteps match the host decoder; intermediate decodes
+    work mid-stream; the flush path's padded chunks stay masked."""
+    from stt_tpu.stream.streaming import StreamState, StreamingRuntime
+
+    params, config, feature_config, alphabet, audio = trained_smoke
+    runtime = StreamingRuntime(params, config, feature_config, alphabet)
+
+    def run(device_decode):
+        stream = StreamState(
+            runtime, beam_width=32, device_decode=device_decode
+        )
+        mids = []
+        for start in range(0, len(audio), 11000):
+            stream.feed_audio_content(audio[start : start + 11000])
+            mids.append(stream.intermediate_decode(1)[0].transcript)
+        return mids, stream.finish(1)[0]
+
+    mids_host, host = run(False)
+    mids_dev, dev = run(True)
+    assert dev.transcript == host.transcript == (
+        "she had your dark suit in greasy wash water all year"
+    )
+    assert dev.timesteps == host.timesteps
+    assert dev.confidence == pytest.approx(host.confidence, abs=2e-3)
+    assert mids_dev == mids_host
+    # incremental: intermediate decodes are prefixes-ish of the final
+    assert mids_dev[-1] != ""
+
+
+def test_device_streaming_decoder_chunked_equals_oneshot():
+    """DeviceStreamingDecoder over chunks == device_beam_search one-shot
+    == host oracle."""
+    from stt_tpu.decode.device import DeviceStreamingDecoder
+
+    rng = np.random.RandomState(17)
+    alphabet = make_alphabet()
+    n_class = alphabet.size + 1
+    T = 45
+    probs = softmax(rng.randn(T, n_class) * 2.0).astype(np.float32)
+
+    dec = DeviceStreamingDecoder(alphabet, 24)
+    for start in range(0, T, 16):
+        chunk = probs[start : start + 16]
+        n = chunk.shape[0]
+        if n < 16:  # padded flush chunk, masked via n_valid
+            chunk = np.concatenate(
+                [chunk, np.zeros((16 - n, n_class), np.float32)]
+            )
+        dec.next(chunk, n_valid=n)
+    streamed = dec.decode(2)
+
+    oneshot = ctc_beam_search_decoder_device(
+        [probs], [T], alphabet, beam_size=24, num_results=2
+    )[0]
+    host = _host_results(probs, alphabet, beam=24, n=2)
+    for a, b in zip(streamed, oneshot):
+        assert a.transcript == b.transcript
+        assert a.timesteps == b.timesteps
+        assert a.confidence == pytest.approx(b.confidence, abs=1e-5)
+    assert streamed[0].transcript == host[0].transcript
+    assert streamed[0].timesteps == host[0].timesteps
+
+
 def test_auto_device_prune_policy():
     from stt_tpu.stream.streaming import auto_device_prune
 
@@ -324,6 +389,44 @@ def test_pool_device_prune_equivalence(trained_smoke):
         assert outs[0] == outs[1] == (
             "she had your dark suit in greasy wash water all year"
         )
+
+
+@pytest.mark.parametrize("cutoffs", [(1.0, 40), (0.9, 4)])
+def test_device_beam_wav2vec2_layout(cutoffs):
+    """blank at index 0 + ignored control symbols: the device scan must
+    match the host Wav2vec2DecoderState (identity token remap, no LM)."""
+    from stt_tpu.decode.beam import Wav2vec2DecoderState
+
+    cutoff_prob, cutoff_top_n = cutoffs
+    rng = np.random.RandomState(41)
+    labels = ["<pad>", "<s>", "</s>", " ", "a", "b", "c"]
+    alphabet = Alphabet().init_from_labels(labels)
+    C = alphabet.size  # blank rides INSIDE the table at index 0 here
+    blank_id, ignored = 0, (1, 2)
+    mismatch = 0
+    for trial in range(5):
+        probs = softmax(rng.randn(28, C) * 2.0).astype(np.float32)
+        host_state = Wav2vec2DecoderState(
+            alphabet, 16, blank_id, ignored_symbols=ignored,
+            cutoff_prob=cutoff_prob, cutoff_top_n=cutoff_top_n,
+        )
+        host_state.next(probs)
+        host = host_state.decode(1)
+
+        scores, src, ch = device_beam_search(
+            probs[None], [probs.shape[0]], beam_width=16,
+            cutoff_top_n=cutoff_top_n, cutoff_prob=cutoff_prob,
+            blank_id=blank_id, ignored_symbols=ignored,
+        )
+        [dev] = rebuild_results(scores[0], src[0], ch[0], alphabet, 1)
+        if dev.transcript != host[0].transcript:
+            mismatch += 1
+            continue
+        assert dev.timesteps == host[0].timesteps
+        assert dev.confidence == pytest.approx(host[0].confidence, abs=1e-3)
+        # control symbols never appear in the output
+        assert not set(dev.tokens) & ({blank_id} | set(ignored))
+    assert mismatch == 0, f"{mismatch}/5"
 
 
 def test_rebuild_results_empty_beam():
