@@ -52,20 +52,32 @@ class PooledStream:
 
 class StreamPool:
     def __init__(self, model, max_streams: int = 8,
-                 device_prune: Optional[bool] = None):
+                 device_prune: Optional[bool] = None,
+                 device_decode: Optional[bool] = None):
         self._model = model
         self.max_streams = max_streams
         runtime = model._runtime
         self._runtime = runtime
         mc = runtime.model_config
         fc = runtime.feature_config
+        # device_decode: per-slot stateful on-device beam decoders
+        # (decode/device.DeviceStreamingDecoder) consume their row of
+        # the batched probs without any host transfer while feeding.
+        # Auto: no-LM pool on an accelerator backend.
+        if device_decode is None:
+            device_decode = (
+                model.scorer is None
+                and not model.hot_words
+                and jax.default_backend() != "cpu"
+            )
+        self.device_decode = bool(device_decode) and model.scorer is None
         if device_prune is None:
             from stt_tpu.stream.streaming import auto_device_prune
 
             device_prune = auto_device_prune(
                 mc.n_out, model._cutoff_top_n, model._cutoff_prob
             )
-        self.device_prune = bool(device_prune)
+        self.device_prune = bool(device_prune) and not self.device_decode
         self._chunk_samples = runtime.chunk_samples
         n = mc.n_cell_dim
         self._c = jnp.zeros((max_streams, n), jnp.float32)
@@ -121,14 +133,24 @@ class StreamPool:
                 )
                 self._c = self._c.at[slot].set(0.0)
                 self._h = self._h.at[slot].set(0.0)
-                self._decoders[slot] = make_decoder_state(
-                    self._runtime.alphabet,
-                    self._model._beam_width,
-                    cutoff_prob=self._model._cutoff_prob,
-                    cutoff_top_n=self._model._cutoff_top_n,
-                    scorer=self._model.scorer,
-                    hot_words=self._model.hot_words or None,
-                )
+                if self.device_decode:
+                    from stt_tpu.decode.device import DeviceStreamingDecoder
+
+                    self._decoders[slot] = DeviceStreamingDecoder(
+                        self._runtime.alphabet,
+                        self._model._beam_width,
+                        cutoff_prob=self._model._cutoff_prob,
+                        cutoff_top_n=self._model._cutoff_top_n,
+                    )
+                else:
+                    self._decoders[slot] = make_decoder_state(
+                        self._runtime.alphabet,
+                        self._model._beam_width,
+                        cutoff_prob=self._model._cutoff_prob,
+                        cutoff_top_n=self._model._cutoff_top_n,
+                        scorer=self._model.scorer,
+                        hot_words=self._model.hot_words or None,
+                    )
                 return PooledStream(self, slot)
         raise RuntimeError(f"stream pool exhausted ({self.max_streams} slots)")
 
@@ -210,7 +232,13 @@ class StreamPool:
             self._runtime.params, jnp.asarray(windowed),
             jnp.asarray(seq_len), self._c, self._h,
         )
-        if self.device_prune:
+        if self.device_decode:
+            # each slot's device beam consumes its row of the device
+            # probs — fixed [16, C] shape, padded frames masked
+            for s, valid in valid_by_slot.items():
+                if valid > 0:
+                    self._decoders[s].next(out[s], n_valid=valid)
+        elif self.device_prune:
             idx, logp, cnt, blank = (np.asarray(a) for a in out)
             for s, valid in valid_by_slot.items():
                 if valid > 0:

@@ -53,15 +53,30 @@ def transcribe_file(
             padded[i, : f.shape[0]] = f
             lengths[i] = f.shape[0]
         logits = model.infer_logits(padded, lengths)
-        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
-        decoded = ctc_beam_search_decoder_batch(
-            list(probs),
-            lengths.tolist(),
-            model.alphabet,
-            beam_size=beam_width,
-            num_processes=batch_size,
-            scorer=scorer,
-        )
+        probs = jax.nn.softmax(logits, axis=-1)  # stays on device
+        if scorer is None:
+            # whole beam expansion/prune on device (decode/device.py)
+            from stt_tpu.decode.device import ctc_beam_search_decoder_device
+
+            decoded = ctc_beam_search_decoder_device(
+                probs,
+                lengths.tolist(),
+                model.alphabet,
+                beam_size=beam_width,
+            )
+        else:
+            from stt_tpu.decode.device import (
+                ctc_beam_search_decoder_batch_pruned,
+            )
+
+            decoded = ctc_beam_search_decoder_batch_pruned(
+                probs,
+                lengths.tolist(),
+                model.alphabet,
+                beam_size=beam_width,
+                num_processes=batch_size,
+                scorer=scorer,
+            )
         for (start, end, _), results in zip(batch, decoded):
             segments_out.append(
                 {

@@ -381,12 +381,16 @@ def test_pool_device_prune_equivalence(trained_smoke):
         path = save_artifact(f"{tmp}/m", params, meta, alphabet)
         model = Model(path)
         outs = []
-        for prune in (False, True):
-            pool = StreamPool(model, max_streams=2, device_prune=prune)
+        for kwargs in (
+            {"device_prune": False, "device_decode": False},
+            {"device_prune": True, "device_decode": False},
+            {"device_decode": True},
+        ):
+            pool = StreamPool(model, max_streams=2, **kwargs)
             s = pool.create_stream()
             s.feed_audio_content(audio)
             outs.append(s.finish_stream())
-        assert outs[0] == outs[1] == (
+        assert outs[0] == outs[1] == outs[2] == (
             "she had your dark suit in greasy wash water all year"
         )
 
