@@ -558,6 +558,8 @@ def ctc_beam_search_decoder_device(
     cutoff_prob: float = 1.0,
     cutoff_top_n: int = 40,
     num_results: int = 1,
+    blank_id: Optional[int] = None,
+    ignored_symbols: Sequence[int] = (),
 ) -> List[List[DecodeResult]]:
     """Batch no-LM decode with the expansion/prune running on device.
 
@@ -580,12 +582,13 @@ def ctc_beam_search_decoder_device(
         batch = np.zeros((B, T, C), np.float32)
         # padding frames sit past seq_len and are masked inside the scan;
         # fill with blank=1 so prob sums stay sane if lengths disagree
-        batch[..., -1] = 1.0
+        batch[..., C - 1 if blank_id is None else int(blank_id)] = 1.0
         for i, p in enumerate(items):
             batch[i, : p.shape[0]] = p
     scores, src, char = device_beam_search(
         batch, np.asarray(seq_lengths, np.int32), beam_size,
-        cutoff_top_n, cutoff_prob,
+        cutoff_top_n, cutoff_prob, blank_id=blank_id,
+        ignored_symbols=ignored_symbols,
     )
     return [
         rebuild_results(scores[i], src[i], char[i], alphabet, num_results)

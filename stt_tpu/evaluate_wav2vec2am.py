@@ -188,6 +188,29 @@ def evaluate_wav2vec2am(
         scorer.reset_params(lm_alpha, lm_beta)
 
     results = []
+    if scorer is None:
+        # no LM: token remap is identity, so the whole batch decodes on
+        # device in one padded program (decode/device.py, wav2vec2
+        # class layout via blank_id/ignored_symbols)
+        from stt_tpu.decode.device import ctc_beam_search_decoder_device
+
+        probs_batch = [
+            np.exp(e) if e.min() < 0 else e for _, e in zip(entries, emissions)
+        ]
+        decoded_batch = ctc_beam_search_decoder_device(
+            probs_batch,
+            [p.shape[0] for p in probs_batch],
+            scorer_alphabet,
+            beam_size=beam_width,
+            num_results=num_results,
+            blank_id=blank_id,
+            ignored_symbols=sorted(ignored),
+        )
+        for (wav, truth), decoded in zip(entries, decoded_batch):
+            results.append(
+                process_decode_result(wav, truth, decoded[0].transcript, 0.0)
+            )
+        return results
     for (wav, truth), emission in zip(entries, emissions):
         probs = np.exp(emission) if emission.min() < 0 else emission
         decoded = ctc_beam_search_decoder_for_wav2vec2am(
