@@ -121,7 +121,27 @@ def main(argv=None):
     parser.add_argument("--beam_width", type=int, default=500)
     parser.add_argument("--vad_aggressiveness", type=int, default=3)
     parser.add_argument("--force", action="store_true")
+    # multi-host: files shard round-robin across processes (the
+    # reference ran one transcription process per GPU, transcribe.py:40)
+    parser.add_argument("--coordinator_address", default="")
+    parser.add_argument("--num_processes", type=int, default=0)
+    parser.add_argument("--process_id", type=int, default=-1)
     args = parser.parse_args(argv)
+
+    proc_id, proc_count = 0, 1
+    if args.num_processes and args.num_processes > 1:
+        from stt_tpu.config import SttConfig, maybe_initialize_distributed
+
+        maybe_initialize_distributed(
+            SttConfig(
+                coordinator_address=args.coordinator_address,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        )
+        import jax
+
+        proc_id, proc_count = jax.process_index(), jax.process_count()
 
     from stt_tpu.serve import Model
 
@@ -133,6 +153,8 @@ def main(argv=None):
         scorer = KenLMScorer(args.scorer_path, alpha=args.lm_alpha, beta=args.lm_beta)
 
     sources = resolve_sources(args.src)
+    if proc_count > 1:
+        sources = sources[proc_id::proc_count]
     for path in sources:
         tlog = args.dst if (args.dst and len(sources) == 1) else (
             os.path.splitext(path)[0] + ".tlog"

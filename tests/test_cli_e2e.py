@@ -118,7 +118,17 @@ def test_export_zip_package(trained_config, run_dirs):
     assert model.metadata["graph_version"] == 6
 
 
-def test_transcribe_tool(trained_config, run_dirs, tmp_path):
+@pytest.fixture()
+def exported_model(trained_config, run_dirs):
+    """Export on demand so transcribe/client tests run standalone."""
+    if not os.path.isfile(os.path.join(run_dirs["export"], "weights.npz")):
+        from stt_tpu.export import export
+
+        export(trained_config)
+    return run_dirs["export"]
+
+
+def test_transcribe_tool(trained_config, run_dirs, exported_model, tmp_path):
     from stt_tpu.transcribe import main as transcribe_main
 
     tlog = str(tmp_path / "out.tlog")
@@ -126,7 +136,7 @@ def test_transcribe_tool(trained_config, run_dirs, tmp_path):
         [
             "--src", "/root/reference/data/smoke_test/LDC93S1.wav",
             "--dst", tlog,
-            "--model_dir", run_dirs["export"],
+            "--model_dir", exported_model,
             "--beam_width", "64",
             "--vad_aggressiveness", "0",
         ]
@@ -142,7 +152,7 @@ def test_transcribe_tool(trained_config, run_dirs, tmp_path):
     assert matched >= len(expected) * 0.7, (joined, matched)
 
 
-def test_client_cli_modes(trained_config, run_dirs, capsys):
+def test_client_cli_modes(trained_config, run_dirs, exported_model, capsys):
     """The `stt` CLI client (client.cc parity): plain, JSON word-timing,
     and streaming modes all decode the smoke utterance."""
     from stt_tpu.client import main as client_main
