@@ -101,10 +101,12 @@ def import_split(
     rows = []
     if workers > 1:
         # process pool like the reference's one_sample pool
-        # (bin/import_cv2.py:103-160)
+        # (bin/import_cv2.py:103-160); spawn (not fork): the parent may
+        # have jax threads alive (fork would risk deadlock)
         import multiprocessing
 
-        with multiprocessing.Pool(
+        ctx = multiprocessing.get_context("spawn")
+        with ctx.Pool(
             workers, initializer=_init_worker, initargs=(filter_obj, wav_dir)
         ) as pool:
             for c, row in pool.imap_unordered(_one_sample, samples):
