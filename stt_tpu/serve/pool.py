@@ -63,13 +63,9 @@ class StreamPool:
         # device_decode: per-slot stateful on-device beam decoders
         # (decode/device.DeviceStreamingDecoder) consume their row of
         # the batched probs without any host transfer while feeding.
-        # Auto: no-LM pool on an accelerator backend.
-        if device_decode is None:
-            device_decode = (
-                model.scorer is None
-                and not model.hot_words
-                and jax.default_backend() != "cpu"
-            )
+        # OPT-IN (see stream/streaming.py: the sequential per-chunk
+        # beam scan costs more than the host pull on a single stream;
+        # it pays when host decode CPU is saturated by many streams).
         self.device_decode = bool(device_decode) and model.scorer is None
         if device_prune is None:
             from stt_tpu.stream.streaming import auto_device_prune

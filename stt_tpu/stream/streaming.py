@@ -154,14 +154,11 @@ class StreamState:
         # device_decode: run the WHOLE per-frame beam expansion/prune on
         # device (no-LM only) — nothing decode-related crosses to the
         # host while feeding; backpointers pull lazily at decode().
-        # None = auto: on when there is no scorer and the backend is an
-        # accelerator (on CPU the native C++ decoder is faster).
-        if device_decode is None:
-            device_decode = (
-                scorer is None
-                and hot_words is None
-                and jax.default_backend() != "cpu"
-            )
+        # OPT-IN: measured on the tunneled v5e, the 16-frame sequential
+        # beam scan costs ~3 ms/chunk, more than the host pull it
+        # replaces (RTF 0.16 vs 0.07 single-stream), so it pays only
+        # when host decode CPU is the scarce resource (many-stream
+        # servers) or host<->device transfer must be zero.
         self.device_decode = bool(device_decode) and scorer is None
         # None = auto: prune on device when it shrinks the chunk transfer;
         # pruning disables probs_history (the emissions surface never
