@@ -299,10 +299,10 @@ def train(config: SttConfig) -> TrainState:
         ):
             yield put_batch(batch), ids
 
-    def run_dev_epoch() -> float:
+    def run_eval_epoch(files: List[str]) -> float:
         losses: List[float] = []
         for batch, _ in create_batches(
-            config.dev_files,
+            files,
             alphabet,
             feature_config,
             batch_size=config.dev_batch_size,
@@ -315,6 +315,9 @@ def train(config: SttConfig) -> TrainState:
             losses.extend(np.asarray(batch_losses).tolist())
         finite = [l for l in losses if np.isfinite(l)]
         return float(np.mean(finite)) if finite else float("inf")
+
+    def run_dev_epoch() -> float:
+        return run_eval_epoch(config.dev_files)
 
     # dummy run: longest-first OOM probe (train.py:326-340)
     if config.limit_train >= 0 and train_samples:
@@ -423,6 +426,14 @@ def train(config: SttConfig) -> TrainState:
             msg += f" | dev loss {dev_loss:.4f}"
             if summary_writer is not None:
                 summary_writer(host_step, {"dev/loss": dev_loss})
+        # metrics datasets: tracked each epoch but never steer early
+        # stopping or plateau decisions (train.py:666-674)
+        for metrics_csv in config.metrics_files:
+            m_loss = run_eval_epoch([metrics_csv])
+            name = _os.path.basename(metrics_csv)
+            msg += f" | metrics[{name}] loss {m_loss:.4f}"
+            if summary_writer is not None:
+                summary_writer(host_step, {f"metrics/{name}_loss": m_loss})
         log_info(msg)
 
         if dev_loss is not None:

@@ -77,6 +77,27 @@ def test_evaluate_reports_zero_wer(trained_config, capsys):
     assert results[0].wer == 0.0
 
 
+def test_metrics_files_tracked(trained_config, capsys, tmp_path):
+    """--metrics_files datasets are evaluated each epoch without steering
+    early stopping (train.py:666-674 parity)."""
+    import dataclasses
+
+    from stt_tpu.train.trainer import train
+
+    config = dataclasses.replace(
+        trained_config,
+        epochs=1,
+        metrics_files=[SMOKE_CSV],
+        checkpoint_dir="",
+        save_checkpoint_dir="",
+        load_checkpoint_dir=trained_config.save_checkpoint_dir,
+        alphabet=None,
+    )
+    train(config)
+    out = capsys.readouterr().out
+    assert "metrics[ldc93s1.csv] loss" in out
+
+
 def test_evaluate_device_decode_modes(trained_config):
     """--device_decode off / full / prune agree on transcripts and WER
     (VERDICT r2 item 1: on-device decode wired into evaluate)."""
