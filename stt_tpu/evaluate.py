@@ -1,4 +1,5 @@
-"""Test-set evaluation: logits + loss on device, beam decode on host,
+"""Test-set evaluation: logits + loss on device, beam decode on device
+(no-LM) or via device-pruned emissions into the host decoder (scorer),
 WER/CER report.
 
 Parity surface: evaluate.py (test epoch with
