@@ -116,10 +116,12 @@ class SttConfig:
     export_beam_width: int = 500
     cutoff_prob: float = 1.0
     cutoff_top_n: int = 300
-    # where the per-frame beam math runs: 'auto' decodes no-LM batches
-    # entirely on device (decode/device.py scan) and device-prunes
-    # emissions for scorer decodes; 'full'/'prune' force those modes;
-    # 'off' keeps decode on the host from full-width probabilities
+    # where the per-frame beam math runs: 'prune' (and 'auto') runs the
+    # per-frame emission pruning on device and the beam+LM on the host;
+    # 'full' runs the WHOLE no-LM beam expansion/prune on device
+    # (decode/device.py scan) — opt-in because its first TPU compile is
+    # expensive and re-triggers per padded batch length; 'off' decodes
+    # on the host from full-width probabilities
     device_decode: str = "auto"  # auto | full | prune | off
 
     # -- export ------------------------------------------------------------

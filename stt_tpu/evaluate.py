@@ -87,7 +87,7 @@ def evaluate(
             )
             mode = config.device_decode
             if mode == "auto":
-                mode = "full" if scorer is None else "prune"
+                mode = "prune"
             if mode == "full" and scorer is None:
                 # whole per-frame expansion/prune on device; the host only
                 # walks backpointers (decode/device.py)

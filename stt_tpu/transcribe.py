@@ -54,29 +54,20 @@ def transcribe_file(
             lengths[i] = f.shape[0]
         logits = model.infer_logits(padded, lengths)
         probs = jax.nn.softmax(logits, axis=-1)  # stays on device
-        if scorer is None:
-            # whole beam expansion/prune on device (decode/device.py)
-            from stt_tpu.decode.device import ctc_beam_search_decoder_device
+        # emission pruning on device; beam (+ LM) on the host — the
+        # full on-device scan stays opt-in (see config.device_decode)
+        from stt_tpu.decode.device import (
+            ctc_beam_search_decoder_batch_pruned,
+        )
 
-            decoded = ctc_beam_search_decoder_device(
-                probs,
-                lengths.tolist(),
-                model.alphabet,
-                beam_size=beam_width,
-            )
-        else:
-            from stt_tpu.decode.device import (
-                ctc_beam_search_decoder_batch_pruned,
-            )
-
-            decoded = ctc_beam_search_decoder_batch_pruned(
-                probs,
-                lengths.tolist(),
-                model.alphabet,
-                beam_size=beam_width,
-                num_processes=batch_size,
-                scorer=scorer,
-            )
+        decoded = ctc_beam_search_decoder_batch_pruned(
+            probs,
+            lengths.tolist(),
+            model.alphabet,
+            beam_size=beam_width,
+            num_processes=batch_size,
+            scorer=scorer,
+        )
         for (start, end, _), results in zip(batch, decoded):
             segments_out.append(
                 {
