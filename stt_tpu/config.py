@@ -119,9 +119,10 @@ class SttConfig:
     # where the per-frame beam math runs: 'prune' (and 'auto') runs the
     # per-frame emission pruning on device and the beam+LM on the host;
     # 'full' runs the WHOLE no-LM beam expansion/prune on device
-    # (decode/device.py scan) — opt-in because its first TPU compile is
-    # expensive and re-triggers per padded batch length; 'off' decodes
-    # on the host from full-width probabilities
+    # (decode/device.py scan) — opt-in: measured on the tunneled v5e,
+    # large (T x B x W) scans execute pathologically slowly even after
+    # compile (chunk-sized scans are fine); 'off' decodes on the host
+    # from full-width probabilities
     device_decode: str = "auto"  # auto | full | prune | off
 
     # -- export ------------------------------------------------------------
