@@ -37,6 +37,16 @@ matching slot hashes against parent-string hashes, exactly like the
 host trie's get_child. Alive slots therefore always hold distinct
 strings and prefix mass never splits; a (vanishingly unlikely) 64-bit
 hash collision could merge two unrelated prefixes.
+
+Performance status (measured, tunneled v5e): chunk-sized scans
+(streaming's 16 frames) execute in ~3 ms; long offline scans
+(T=500 x B=16 x W=128) compile in seconds but execute pathologically
+slowly — XLA lowers the per-frame lax.top_k over the (W + W*C) pool to
+a full sort per scan step. The full device path is therefore opt-in at
+every consumer (config.device_decode / STT_TPU_DEVICE_BEAM); the
+default 'prune' stage (one top_k over the whole [B, T, C] tensor, no
+scan) is fast everywhere. A Pallas selection kernel replacing the
+in-scan top_k is the known follow-up.
 """
 
 from __future__ import annotations
