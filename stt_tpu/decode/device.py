@@ -38,20 +38,22 @@ host trie's get_child. Alive slots therefore always hold distinct
 strings and prefix mass never splits; a (vanishingly unlikely) 64-bit
 hash collision could merge two unrelated prefixes.
 
-Performance status (measured, tunneled v5e): chunk-sized scans
-(streaming's 16 frames) execute in ~3 ms; long offline scans
-(T=500 x B=16 x W=128) compile in seconds but execute pathologically
-slowly — XLA lowers the per-frame lax.top_k over the (W + W*C) pool to
-a full sort per scan step. The full device path is therefore opt-in at
-every consumer (config.device_decode / STT_TPU_DEVICE_BEAM); the
-default 'prune' stage (one top_k over the whole [B, T, C] tensor, no
-scan) is fast everywhere. A Pallas selection kernel replacing the
-in-scan top_k is the known follow-up.
+Performance status (measured, tunneled v5e): the XLA scan lowers the
+per-frame lax.top_k over the (W + W*C) pool to a full sort per step —
+164 ms device time at T=500 x B=16 x W=128. The fused Mosaic kernel in
+ops/beam_kernel.py (auto-dispatched for W <= 128, C <= 127 on TPU via
+_use_pallas_kernel; STT_TPU_PALLAS_BEAM=0 disables) runs the same scan
+in 33 ms device time (~4,900 audio-s/s), bit-identical backpointers.
+The full device path stays opt-in at consumers (config.device_decode /
+STT_TPU_DEVICE_BEAM) because the host C++ decoder with device pruning
+remains the scorer path; for the no-LM path the kernel is now the
+fastest decode on the chip.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -60,6 +62,25 @@ import numpy as np
 
 from stt_tpu.alphabet import Alphabet
 from stt_tpu.decode.beam import DecodeResult
+
+
+def _use_pallas_kernel(beam_width: int, n_class: int) -> bool:
+    """Route the full device beam through the fused Mosaic kernel
+    (ops/beam_kernel.py) when the shapes fit and a TPU is attached.
+    STT_TPU_PALLAS_BEAM=0 forces the XLA scan; interpret mode (CPU test
+    suite) exercises the kernel path explicitly."""
+    if os.environ.get("STT_TPU_PALLAS_BEAM", "1") == "0":
+        return False
+    from stt_tpu.ops import beam_kernel
+
+    if not beam_kernel.supports(beam_width, n_class):
+        return False
+    if beam_kernel._INTERPRET:
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - no backend at all
+        return False
 
 NEG_INF = -jnp.inf
 _FLT_MIN = 1.1754944e-38  # NUM_FLT_MIN log floor, decoder_utils.h
@@ -453,6 +474,8 @@ class DeviceStreamingDecoder:
             jnp.asarray(False),
         )
         self._chunks: List[tuple] = []  # device (src, char, n_valid)
+        self._use_kernel: Optional[bool] = None  # decided on first chunk
+        self._kstate = None  # beam_kernel state triple
 
     def next(self, probs, n_valid: Optional[int] = None) -> None:
         """[n, C] softmax chunk — device arrays are consumed in place
@@ -463,6 +486,23 @@ class DeviceStreamingDecoder:
         if n_valid is None:
             n_valid = n
         if n_valid <= 0:
+            return
+        if self._use_kernel is None:
+            self._use_kernel = _use_pallas_kernel(
+                self.beam_size, int(probs.shape[1])
+            )
+        if self._use_kernel:
+            from stt_tpu.ops import beam_kernel
+
+            if self._kstate is None:
+                self._kstate = beam_kernel.init_state(1)
+            self._kstate, _, packed = beam_kernel.beam_scan(
+                probs[None], np.asarray([n_valid], np.int32),
+                self.beam_size, self.cutoff_top_n, self.cutoff_prob,
+                state=self._kstate,
+            )
+            # packed int16 plane stays on device until decode()
+            self._chunks.append((packed[0], None, n_valid))
             return
         self._state, src, char = _device_beam_chunk(
             self._state, probs, jnp.asarray(n_valid, jnp.int32),
@@ -477,15 +517,30 @@ class DeviceStreamingDecoder:
         )
 
     def decode(self, num_results: int = 1) -> List[DecodeResult]:
-        scores = np.asarray(_lse(self._state[0], self._state[1]))
+        if self._use_kernel and self._kstate is not None:
+            outf = self._kstate[0]
+            W = self.beam_size
+            scores = np.asarray(
+                jnp.logaddexp(outf[0, 0, 0, :W], outf[1, 0, 0, :W])
+            )
+        else:
+            scores = np.asarray(_lse(self._state[0], self._state[1]))
         if not self._chunks:
             return [DecodeResult(0.0, "", [], [])]
-        src = np.concatenate(
-            [np.asarray(s)[:n] for s, _, n in self._chunks]
-        )
-        char = np.concatenate(
-            [np.asarray(c)[:n] for _, c, n in self._chunks]
-        )
+        if self._use_kernel:
+            from stt_tpu.ops import beam_kernel
+
+            packed = np.concatenate(
+                [np.asarray(p)[:n] for p, _, n in self._chunks]
+            )
+            src, char = beam_kernel.unpack_bp(packed)
+        else:
+            src = np.concatenate(
+                [np.asarray(s)[:n] for s, _, n in self._chunks]
+            )
+            char = np.concatenate(
+                [np.asarray(c)[:n] for _, c, n in self._chunks]
+            )
         return rebuild_results(scores, src, char, self.alphabet, num_results)
 
 
@@ -509,6 +564,17 @@ def device_beam_search(
     if probs.ndim == 2:
         probs = probs[None]
     seq_len = jnp.atleast_1d(jnp.asarray(seq_lengths, jnp.int32))
+    if _use_pallas_kernel(int(beam_width), int(probs.shape[-1])):
+        from stt_tpu.ops import beam_kernel
+
+        _, scores, packed = beam_kernel.beam_scan(
+            probs, seq_len, int(beam_width), int(cutoff_top_n),
+            float(cutoff_prob),
+            None if blank_id is None else int(blank_id),
+            tuple(int(i) for i in ignored_symbols),
+        )
+        src, char = beam_kernel.unpack_bp(np.asarray(packed))
+        return np.asarray(scores), src, char
     scores, src, char = _device_beam_scan(
         probs, seq_len, int(beam_width), int(cutoff_top_n),
         float(cutoff_prob),

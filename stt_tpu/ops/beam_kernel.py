@@ -1,0 +1,727 @@
+"""Fused Pallas TPU kernel for the per-frame CTC beam expansion/prune.
+
+This is the TPU-native replacement for the XLA implementation of the
+same step in ``stt_tpu/decode/device.py`` (``_beam_step``), which is in
+turn the device twin of the reference host decoder's per-frame loop
+(/root/reference/native_client/ctcdecode/ctc_beam_search_decoder.cpp:112-274).
+The XLA version spends ~0.8 ms per frame-batch: ``lax.top_k`` over the
+(W + W*C) candidate pool lowers to a full per-frame sort, and the
+parent/child gathers each become standalone gather kernels. Here the
+entire frame — emission pruning, hash-based parent matching, the
+blank/repeat/extend merges, the timestep-claim state machine, candidate
+pool assembly, and the top-W selection — is ONE Mosaic program per
+chunk, with the beam state resident in VMEM across the whole time scan
+(grid carry), so per-frame cost is a few dozen vector ops instead of a
+few dozen XLA kernel launches.
+
+Design notes (what maps where):
+
+- Beam state lives as column vectors ``[B, W, 1]`` (slot = sublane);
+  per-class vectors as rows ``[B, 1, L]`` (class = lane, L = 128 padded).
+  Row/column conversions are single ``swapaxes`` ops (Mosaic lowers
+  these to vector shuffles).
+- Every gather from the XLA version (``score[par_idx]``,
+  ``cand_logp[last]``, the post-selection ``state[j_old]`` pulls)
+  becomes a one-hot mask + lane/sublane reduction: exact for i32
+  (hashes) because no float matmul is involved, and NaN-safe for f32
+  because masking uses ``where`` rather than multiplication by zero.
+- The ``merged`` matrix (which children already exist in the beam) is
+  the one true matmul: ``eq_par @ onehot(last)`` on the MXU in f32 —
+  exact for 0/1 values.
+- The top-W selection over the ``[W, C+1]`` candidate pool is a bitonic
+  merge tree with lexicographic (value desc, flat-index asc) keys —
+  bit-for-bit the order ``jax.lax.top_k`` gives over the flattened pool
+  in the XLA version, because the carried flat indices replicate its
+  tie-breaking. Stages shrink with the data: per-slot group sort on
+  ``[B, W, next_pow2(C+1)]`` lanes, then row-pair merges that halve the
+  live rows each level. Flat indices are unique by construction, which
+  makes the compare-exchange network safe (no equal-key duplication).
+
+Capacity: W <= 128 beam slots and C <= 127 classes (the exist-score
+lane is parked at lane C). Wider beams or bytes-mode alphabets
+(C = 256) fall back to the XLA path in decode/device.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -jnp.inf
+_FLT_MIN = 1.1754944e-38  # NUM_FLT_MIN log floor, decoder_utils.h
+_KEEP = -1
+
+# rolling string-hash multipliers — MUST match decode/device.py so that
+# kernel-produced and XLA-produced states are interchangeable mid-stream
+_H1 = np.int32(1000003)
+_H2 = np.int32(69069)
+
+WSLOTS = 128  # physical beam slots (one sublane tile)
+LANES = 128  # physical class lanes
+
+# interpret mode lets the CPU-only test suite gate kernel semantics
+_INTERPRET = os.environ.get("STT_TPU_BEAM_KERNEL_INTERPRET", "0") == "1"
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+# --------------------------------------------------------------------------
+# bitonic building blocks (lane axis = last axis)
+# --------------------------------------------------------------------------
+
+
+def _roll_axis(x, shift_left: int, axis: int):
+    """x[i] <- x[i + shift_left] (circular along `axis`)."""
+    n = x.shape[axis]
+    return pltpu.roll(x, (n - shift_left) % n, axis=axis)
+
+
+def _partner(x, d, i_lower, axis: int):
+    """Value of the butterfly partner (index XOR d) along `axis`."""
+    return jnp.where(
+        i_lower, _roll_axis(x, d, axis), _roll_axis(x, -d % x.shape[axis], axis)
+    )
+
+
+def _cmpx(v, f, d, desc, axis: int = 2):
+    """One compare-exchange pass at distance d along `axis`.
+
+    desc: bool array broadcastable to v — True where the enclosing
+    bitonic block sorts descending. Keys are (v desc, f asc); f values
+    are unique so the exactly-equal case (which would duplicate
+    entries) cannot occur.
+    """
+    pos = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    i_lower = (pos & d) == 0
+    pv = _partner(v, d, i_lower, axis)
+    pf = _partner(f, d, i_lower, axis)
+    better = (v > pv) | ((v == pv) & (f < pf))
+    # keep own element iff (i_lower == better) == desc; expressed without
+    # a bool-valued where (Mosaic can't truncate i8->i1)
+    keep = (i_lower == better) == desc
+    return jnp.where(keep, v, pv), jnp.where(keep, f, pf)
+
+
+def _bitonic_sort_groups(v, f, g: int, axis: int = 2):
+    """Sort each aligned g-wide group descending (by (v desc, f asc))."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    k = 2
+    while k <= g:
+        desc = (pos & k) == 0
+        d = k // 2
+        while d >= 1:
+            v, f = _cmpx(v, f, d, desc, axis)
+            d //= 2
+        k *= 2
+    return v, f
+
+
+def _bitonic_merge_desc(v, f, g: int):
+    """Merge aligned bitonic g-lane sequences into descending order."""
+    d = g // 2
+    while d >= 1:
+        v, f = _cmpx(v, f, d, True)
+        d //= 2
+    return v, f
+
+
+def _reverse_groups(v, f, g: int):
+    """Reverse each aligned g-lane group (butterfly: XOR with g-1)."""
+    d = g // 2
+    while d >= 1:
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+        i_lower = (lane & d) == 0
+        v = _partner(v, d, i_lower, v.ndim - 1)
+        f = _partner(f, d, i_lower, f.ndim - 1)
+        d //= 2
+    return v, f
+
+
+def _select_top(pool_v, pool_f, width: int):
+    """Top-WSLOTS of the candidate pool, sorted (value desc, flat asc).
+
+    pool_v/pool_f come in TRANSPOSED: [B, width', WSLOTS] with the
+    candidate class on the SUBLANE axis and the slot on lanes, because
+    that is both how the pool falls out of row-form state (no
+    transposes to build it) and the cheap layout for the initial
+    per-slot sort: sorting g = next_pow2(width) sublanes touches
+    g/8 x 1 vregs instead of the 16 x 1 a 128-lane row sort would.
+    After the per-slot sort the planes transpose once and the merge
+    tree halves the live rows each level. Returns rows [B, 1, WSLOTS].
+    Matches jax.lax.top_k over the flat pool bit-for-bit because the
+    carried flat indices reproduce its index-order tie-breaking.
+    """
+    g = _next_pow2(width)
+    v = pool_v[:, :g, :]
+    f = pool_f[:, :g, :]
+    v, f = _bitonic_sort_groups(v, f, g, axis=1)  # per-slot, along sublanes
+    v = _swap(v)  # [B, W, g] — each row a sorted g-prefix
+    f = _swap(f)
+
+    # grow sorted rows until they span 128 lanes
+    s = g
+    while s < LANES:
+        r = v.shape[1]
+        a_v, a_f = v[:, : r // 2, :], f[:, : r // 2, :]
+        b_v, b_f = _reverse_groups(v[:, r // 2 :, :], f[:, r // 2 :, :], s)
+        v = jnp.concatenate([a_v, b_v], axis=2)
+        f = jnp.concatenate([a_f, b_f], axis=2)
+        v, f = _bitonic_merge_desc(v, f, 2 * s)
+        s *= 2
+
+    # cap levels: keep top-128 of each row pair
+    while v.shape[1] > 1:
+        r = v.shape[1]
+        a_v, a_f = v[:, : r // 2, :], f[:, : r // 2, :]
+        b_v, b_f = _reverse_groups(v[:, r // 2 :, :], f[:, r // 2 :, :], LANES)
+        better = (a_v > b_v) | ((a_v == b_v) & (a_f < b_f))
+        v = jnp.where(better, a_v, b_v)
+        f = jnp.where(better, a_f, b_f)
+        v, f = _bitonic_merge_desc(v, f, LANES)
+    return v, f
+
+
+# --------------------------------------------------------------------------
+# the per-frame step on in-kernel values
+# --------------------------------------------------------------------------
+
+
+def _lse(a, b):
+    return jnp.logaddexp(a, b)
+
+
+def _swap(x):
+    return jnp.swapaxes(x, 1, 2)
+
+
+
+
+def _frame_step(
+    prob,  # [B, 1, L] f32 (softmax, lanes >= C zero)
+    valid,  # [B, 1, 1] bool
+    state,  # rows: (pb, pnb [B,1,W] f32; last, ha, hb, pha, phb [B,1,W] i32;
+    #               started [B,1,1] bool)
+    nign,  # [1, 1, L] bool (False on ignored and padded lanes)
+    rank_static,  # [1, 1, L] i32
+    *,
+    w_real: int,
+    n_class: int,
+    blank: int,
+    cutoff_top_n: int,
+    cutoff_prob: float,
+):
+    """One frame of CTC prefix beam search — the Pallas twin of
+    decode/device.py::_beam_step, same math op for op.
+
+    Layout discipline: every per-slot vector is a ROW [B, 1, W] (exact
+    lane packing — a [B, W, 1] column pads its lane dim x128 in vregs,
+    which is why the first cut of this kernel was as slow as the XLA
+    scan). Columns exist only transiently, made in PACKS via a single
+    swapaxes per pack, and only where a [B, W, L] broadcast needs the
+    slot axis on sublanes.
+    """
+    pb, pnb, last, ha, hb, pha, phb, started = state
+    B = prob.shape[0]
+    C = n_class
+    W = WSLOTS
+    L = LANES
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, L), 2)  # class/slot lanes
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)  # slot sublanes
+    izeros = jnp.zeros((B, W, L), jnp.int32)
+
+    # delayed-expansion gate (cpp:120-131)
+    blank_p = jnp.sum(jnp.where(lane == blank, prob, 0.0), axis=2, keepdims=True)
+    started = started | ((blank_p < 0.999) & valid)
+    active = started & valid  # [B,1,1]
+
+    cand_logp = jnp.log(prob + _FLT_MIN)  # [B,1,L]
+
+    # ---- emission pruning (oracle semantics: _pruned_emissions) --------
+    if cutoff_prob < 1.0 or cutoff_top_n < C:
+        sort_probs = jnp.where(nign & (lane < C), prob, 0.0)  # [B,1,L]
+        sp_col = _swap(sort_probs)  # [B,L,1]
+        lane_col = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
+        before = (sp_col > sort_probs) | (
+            (sp_col == sort_probs) & (lane_col < lane)
+        )  # [B,L,L]: lane' sorts before lane
+        rank = jnp.sum(before.astype(jnp.int32), axis=1, keepdims=True)  # [B,1,L]
+        if cutoff_prob < 1.0:
+            rank_col = _swap(rank)  # [B,L,1]
+            leq = rank_col <= rank  # [B,L,L]
+            cum = jnp.sum(jnp.where(leq, sp_col + jnp.zeros((B, L, L), jnp.float32), 0.0), axis=1, keepdims=True)
+            trigger = (cum >= cutoff_prob) | (rank + 1 >= cutoff_top_n)
+            cutlen = jnp.min(
+                jnp.where(trigger, rank + 1, C), axis=2, keepdims=True
+            )  # [B,1,1]
+        else:
+            cutlen = jnp.full((1, 1, 1), C, jnp.int32)
+        included = (rank < cutlen) & nign & (lane < C)
+    else:
+        rank = rank_static + jnp.zeros((1, 1, L), jnp.int32)
+        included = nign & (lane < C)
+
+    score = _lse(pb, pnb)  # [B,1,W]
+    alive = score > NEG_INF
+    has_last = last >= 0
+
+    # ---- packed row->column transposes ---------------------------------
+    ipack = _swap(jnp.concatenate([last, ha, hb, pha, phb], axis=1))  # [B,W,5]
+    last_c = ipack[:, :, 0:1]
+    ha_c = ipack[:, :, 1:2]
+    hb_c = ipack[:, :, 2:3]
+    pha_c = ipack[:, :, 3:4]
+    phb_c = ipack[:, :, 4:5]
+    fpack = _swap(jnp.concatenate([pb, score], axis=1))  # [B,W,2]
+    pb_c = fpack[:, :, 0:1]
+    score_c = fpack[:, :, 1:2]
+    alive_c = score_c > NEG_INF
+    has_last_c = last_c >= 0
+
+    # ---- parent lookup by string hash (the trie's get_child merge) ------
+    # eq1[b, i, j]: alive slot i (sublane) holds slot j's (lane) parent
+    # string; each column has at most one hit (alive slots hold distinct
+    # strings), so gathers become masked sublane sums with ROW results.
+    eq1 = (ha_c == pha) & (hb_c == phb) & alive_c & has_last  # [B,W,W]
+    has_parent = jnp.sum(eq1.astype(jnp.int32), axis=1, keepdims=True) > 0
+    par_idx = jnp.sum(jnp.where(eq1, sub + izeros, 0), axis=1, keepdims=True)
+    par_score = jnp.sum(jnp.where(eq1, score_c, 0.0), axis=1, keepdims=True)
+    par_last = jnp.sum(jnp.where(eq1, last_c + izeros, 0), axis=1, keepdims=True)
+    par_pb = jnp.sum(jnp.where(eq1, pb_c, 0.0), axis=1, keepdims=True)
+    # rows [B,1,W]; a hit whose parent score is -inf sums to -inf
+    # correctly; a miss sums to 0 but every consumer is has_parent-gated.
+
+    # per-slot class lookups via one-hot lane masks, packed back to rows
+    oh_last = (last_c == lane) & has_last_c  # [B,W,L]
+    logp_last_col = jnp.sum(
+        jnp.where(oh_last, cand_logp, 0.0), axis=2, keepdims=True
+    )
+    c_in_col = jnp.sum(
+        jnp.where(oh_last & included, 1.0, 0.0), axis=2, keepdims=True
+    )
+    rank_last_col = jnp.sum(
+        jnp.where(oh_last, rank.astype(jnp.float32), 0.0), axis=2, keepdims=True
+    )
+    red = _swap(jnp.concatenate([logp_last_col, c_in_col, rank_last_col], axis=2))
+    logp_last = red[:, 0:1, :]  # [B,1,W]
+    c_in = red[:, 1:2, :] != 0.0  # included[last] & has_last
+    rank_last = red[:, 2:3, :].astype(jnp.int32)
+
+    is_blank_lane = lane == blank
+    blank_in = jnp.any(is_blank_lane & included, axis=2, keepdims=True)  # [B,1,1]
+    blank_logp = jnp.sum(
+        jnp.where(is_blank_lane, cand_logp, 0.0), axis=2, keepdims=True
+    )
+    blank_rank = jnp.sum(jnp.where(is_blank_lane, rank, 0), axis=2, keepdims=True)
+
+    # ---- existing-slot updates (blank / repeat / merge-extend) ---------
+    b_val = jnp.where(blank_in & alive, blank_logp + score, NEG_INF)
+    r_val = jnp.where(c_in & alive, logp_last + pnb, NEG_INF)
+    e_from = jnp.where(par_last == last, par_pb, par_score)
+    e_ok = has_parent & c_in
+    e_val = jnp.where(e_ok, logp_last + e_from, NEG_INF)
+    new_pb_exist = b_val
+    new_pnb_exist = _lse(r_val, e_val)
+
+    # ---- timestep-claim state machine (see device.py for the contract) --
+    blank_first = (~has_last) | (blank_rank < rank_last)
+    r_first = lane < par_idx  # slot j (lane) processed before its parent?
+    nb_final = new_pnb_exist
+    impA = e_val > r_val
+    b_kills = (~blank_first) & blank_in & alive & (nb_final < b_val)
+    rwA = impA & ~b_kills
+    impB = e_val > NEG_INF
+    r_killsB = c_in & alive & (e_val < r_val)
+    rwB = impB & ~r_killsB & ~b_kills
+    # (no jnp.where on bool operands: Mosaic can't truncate i8->i1)
+    rewrite = ((r_first & rwA) | (~r_first & rwB)) & e_ok  # [B,1,W]
+
+    # ---- extension children pool, TRANSPOSED [B, g, W] ------------------
+    # class on sublanes, slot on lanes: builds straight from row-form
+    # state (no transposes) and feeds the cheap sublane-axis group sort
+    # in _select_top. g = next_pow2(C+1) sublanes suffice: children at
+    # c in [0, C), the existing-prefix score parked at c = C.
+    g = _next_pow2(C + 1)
+    class_col = jax.lax.broadcasted_iota(jnp.int32, (1, g, 1), 1)
+    cpack = _swap(
+        jnp.concatenate(
+            [
+                cand_logp,
+                # included may be batch-less on the static-rank path
+                included.astype(jnp.float32) + jnp.zeros((B, 1, L), jnp.float32),
+            ],
+            axis=1,
+        )
+    )  # [B,L,2]
+    cand_logp_col = cpack[:, :g, 0:1]
+    included_col = cpack[:, :g, 1:2] != 0.0
+
+    # merged_T[b, c, w]: an alive slot already holds prefix_w + c.
+    # eq1_T[b, j, w] = eq1[b, w, j], built directly from the row forms.
+    eq1_T = (pha_c == ha) & (phb_c == hb) & alive & has_last_c
+    is_rep_T = last == class_col  # [B,g,W] (last is a row)
+    oh_last_T = is_rep_T & has_last  # over slot j
+    merged_T = (
+        jax.lax.dot_general(
+            oh_last_T.astype(jnp.float32),
+            eq1_T.astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        > 0.5
+    )
+    child_val = jnp.where(is_rep_T, pb, score) + cand_logp_col
+    child_ok = alive & included_col & (class_col != blank) & ~merged_T
+    child_val = jnp.where(child_ok, child_val, NEG_INF)
+
+    exist_score = _lse(new_pb_exist, new_pnb_exist)  # [B,1,W]
+    fpack2 = _swap(
+        jnp.concatenate([new_pb_exist, new_pnb_exist], axis=1)
+    )  # [B,W,2]
+    npbe_c = fpack2[:, :, 0:1]
+    npnbe_c = fpack2[:, :, 1:2]
+    ipack2 = _swap(
+        jnp.concatenate([par_idx, rewrite.astype(jnp.int32)], axis=1)
+    )  # [B,W,2]
+    par_idx_c = ipack2[:, :, 0:1]
+    rewrite_c = ipack2[:, :, 1:2]
+
+    exist_row_mask = class_col == C
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    pool_v = jnp.where(
+        exist_row_mask, exist_score, jnp.where(class_col < C, child_val, NEG_INF)
+    )
+    # flat indices replicate the XLA pool layout [exist(W) ++ children(W*C)]
+    pool_f = jnp.where(
+        exist_row_mask, w_iota, w_real + w_iota * C + class_col
+    ) + jnp.zeros((B, g, W), jnp.int32)
+
+    top_v, top_f = _select_top(pool_v, pool_f, C + 1)  # rows [B,1,L]
+
+    # ---- decode selection into the new state (rows over new slot k) -----
+    val = top_v
+    flat = top_f
+    is_exist = flat < w_real
+    child_flat = flat - w_real
+    i_old = jnp.floor(
+        (child_flat.astype(jnp.float32) + 0.5) * (1.0 / C)
+    ).astype(jnp.int32)
+    c_new = child_flat - i_old * C
+
+    # one-hot [B, old slot j (sublane), new slot k (lane)] — built from
+    # rows broadcast over sublanes, no transposes needed
+    E2 = is_exist & (sub == flat)
+    E3 = (~is_exist) & (sub == i_old)
+
+    def gj_f(x_c):  # f32 gather x[flat_k] (exist slots)
+        return jnp.sum(jnp.where(E2, x_c, 0.0), axis=1, keepdims=True)
+
+    def gj_i(x_c):  # i32 gather x[flat_k]
+        return jnp.sum(jnp.where(E2, x_c + izeros, 0), axis=1, keepdims=True)
+
+    def gi_i(x_c):  # i32 gather x[i_old_k] (child parents)
+        return jnp.sum(jnp.where(E3, x_c + izeros, 0), axis=1, keepdims=True)
+
+    sel_last = jnp.where(is_exist, gj_i(last_c), c_new)
+    # masked f32 sums: a selected -inf entry sums to -inf exactly
+    sel_pb = jnp.where(is_exist, gj_f(npbe_c), NEG_INF)
+    sel_pnb = jnp.where(is_exist, gj_f(npnbe_c), val)
+
+    ha_of_i = gi_i(ha_c)
+    hb_of_i = gi_i(hb_c)
+    child_ha = ha_of_i * _H1 + (c_new + 1)
+    child_hb = hb_of_i * _H2 + (c_new + 1)
+    sel_ha = jnp.where(is_exist, gj_i(ha_c), child_ha)
+    sel_hb = jnp.where(is_exist, gj_i(hb_c), child_hb)
+    sel_pha = jnp.where(is_exist, gj_i(pha_c), ha_of_i)
+    sel_phb = jnp.where(is_exist, gj_i(phb_c), hb_of_i)
+
+    rw_sel = gj_i(rewrite_c) != 0
+    src_exist = jnp.where(rw_sel, gj_i(par_idx_c), flat)
+    char_exist = jnp.where(rw_sel, gj_i(last_c), _KEEP)
+    bp_src = jnp.where(is_exist, src_exist, i_old)
+    bp_char = jnp.where(is_exist, char_exist, c_new)
+
+    dead = (val == NEG_INF) | (lane >= w_real)  # new slot k = lane
+    sel_last = jnp.where(dead, -1, sel_last)
+    sel_pb = jnp.where(dead, NEG_INF, sel_pb)
+    sel_pnb = jnp.where(dead, NEG_INF, sel_pnb)
+    sel_ha = jnp.where(dead, 0, sel_ha)
+    sel_hb = jnp.where(dead, 0, sel_hb)
+    sel_pha = jnp.where(dead, 0, sel_pha)
+    sel_phb = jnp.where(dead, 0, sel_phb)
+    lane_b = lane + jnp.zeros((B, 1, L), jnp.int32)
+    bp_src = jnp.where(dead, lane_b, bp_src)
+    bp_char = jnp.where(dead, _KEEP, bp_char)
+
+    # ---- inactive frames: identity --------------------------------------
+    out_pb = jnp.where(active, sel_pb, pb)
+    out_pnb = jnp.where(active, sel_pnb, pnb)
+    out_last = jnp.where(active, sel_last, last)
+    out_ha = jnp.where(active, sel_ha, ha)
+    out_hb = jnp.where(active, sel_hb, hb)
+    out_pha = jnp.where(active, sel_pha, pha)
+    out_phb = jnp.where(active, sel_phb, phb)
+    out_src = jnp.where(active, bp_src, lane_b)
+    out_char = jnp.where(active, bp_char, jnp.full((B, 1, L), _KEEP, jnp.int32))
+
+    new_state = (
+        out_pb, out_pnb, out_last, out_ha, out_hb, out_pha, out_phb, started,
+    )
+    return new_state, (out_src, out_char)
+
+
+# --------------------------------------------------------------------------
+# kernel: grid over T, beam state carried in VMEM scratch (row layouts)
+# --------------------------------------------------------------------------
+
+
+def _make_kernel(B, T, w_real, n_class, blank, cutoff_top_n, cutoff_prob):
+    def kernel(
+        lens_ref,  # [B,1,1] i32
+        nign_ref,  # [1,1,L] i32
+        rank_ref,  # [1,1,L] i32
+        initf_ref,  # [2,B,1,W] f32: pb, pnb
+        initi_ref,  # [5,B,1,W] i32: last, ha, hb, pha, phb
+        st0_ref,  # [B,1,1] i32
+        probs_ref,  # block [1,B,1,L] f32
+        bp_ref,  # block [1,B,1,W] i32: (src << 8) | (char + 1)
+        outf_ref,  # [2,B,1,W] f32
+        outi_ref,  # [5,B,1,W] i32
+        stF_ref,  # [B,1,1] i32
+        sf,  # scratch [2,B,1,W] f32
+        si,  # scratch [5,B,1,W] i32
+        sst,  # scratch [B,1,1] i32
+    ):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            sf[:] = initf_ref[:]
+            si[:] = initi_ref[:]
+            sst[:] = st0_ref[:]
+
+        prob = probs_ref[0]  # [B,1,L]
+        valid = t < lens_ref[:]  # [B,1,1]
+        state = (
+            sf[0], sf[1],
+            si[0], si[1], si[2], si[3], si[4],
+            sst[:] != 0,
+        )
+        new_state, (src, char) = _frame_step(
+            prob,
+            valid,
+            state,
+            nign_ref[:] != 0,
+            rank_ref[:],
+            w_real=w_real,
+            n_class=n_class,
+            blank=blank,
+            cutoff_top_n=cutoff_top_n,
+            cutoff_prob=cutoff_prob,
+        )
+        pb2, pnb2, last2, ha2, hb2, pha2, phb2, started2 = new_state
+        sf[0] = pb2
+        sf[1] = pnb2
+        si[0] = last2
+        si[1] = ha2
+        si[2] = hb2
+        si[3] = pha2
+        si[4] = phb2
+        sst[:] = started2.astype(jnp.int32)
+        # pack the frame's backpointers into one plane: src < 128 (7 bits),
+        # char+1 in [0, 127] (7 bits) — fits the int16 the host fetches
+        bp_ref[0] = src * 256 + (char + 1)
+
+        @pl.when(t == T - 1)
+        def _():
+            outf_ref[:] = sf[:]
+            outi_ref[:] = si[:]
+            stF_ref[:] = sst[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "w_real", "n_class", "blank", "cutoff_top_n", "cutoff_prob",
+    ),
+)
+def _beam_scan_call(
+    probs,  # [T, B, 1, L] f32 (lanes >= C zero)
+    lens,  # [B, 1, 1] i32
+    nign,  # [1, 1, L] i32
+    rank_static,  # [1, 1, L] i32
+    initf,  # [2, B, 1, W] f32
+    initi,  # [5, B, 1, W] i32
+    st0,  # [B, 1, 1] i32
+    *,
+    w_real: int,
+    n_class: int,
+    blank: int,
+    cutoff_top_n: int,
+    cutoff_prob: float,
+):
+    T, B = probs.shape[0], probs.shape[1]
+    W, L = WSLOTS, LANES
+    kernel = _make_kernel(B, T, w_real, n_class, blank, cutoff_top_n, cutoff_prob)
+    bp, outf, outi, stF = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((B, 1, 1), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, B, 1, W), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, B, 1, W), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, 1), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1, L), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, 1, W), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, B, 1, W), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, B, 1, W), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1, 1), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, 1, W), jnp.int32),
+            jax.ShapeDtypeStruct((2, B, 1, W), jnp.float32),
+            jax.ShapeDtypeStruct((5, B, 1, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, B, 1, W), jnp.float32),
+            pltpu.VMEM((5, B, 1, W), jnp.int32),
+            pltpu.VMEM((B, 1, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # a few [B, 128, 128] live intermediates (pool planes, the
+            # parent-match matrices) exceed the 16M default scoped vmem
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_INTERPRET,
+    )(lens, nign, rank_static, initf, initi, st0, probs)
+    return bp, outf, outi, stF
+
+
+# --------------------------------------------------------------------------
+# host-facing wrapper
+# --------------------------------------------------------------------------
+
+
+def supports(beam_width: int, n_class: int) -> bool:
+    """Shapes this kernel handles; callers fall back to XLA otherwise."""
+    return beam_width <= WSLOTS and n_class <= LANES - 1
+
+
+def _masks(n_class, blank, ignored_symbols, default_blank):
+    C, L = n_class, LANES
+    nign = np.ones((L,), np.int32)
+    nign[C:] = 0
+    for s in ignored_symbols:
+        nign[int(s)] = 0
+    nign[blank] = 1
+    rank = np.arange(L, dtype=np.int32)
+    if not (default_blank and not ignored_symbols):
+        order = [i for i in range(C) if nign[i] and i != blank]
+        order.append(blank)
+        rank_np = np.full((C,), C - 1, np.int32)
+        for pos_i, tok in enumerate(order):
+            rank_np[tok] = pos_i
+        rank[:C] = rank_np
+    return nign.reshape(1, 1, L), rank.reshape(1, 1, L)
+
+
+def init_state(batch: int):
+    """Root-only beam state, padded to WSLOTS slots (dead = -inf/hash 0)."""
+    B, W = batch, WSLOTS
+    pb = np.full((B, 1, W), -np.inf, np.float32)
+    pb[:, 0, 0] = 0.0
+    pnb = np.full((B, 1, W), -np.inf, np.float32)
+    last = np.full((B, 1, W), -1, np.int32)
+    ha = np.zeros((B, 1, W), np.int32)
+    ha[:, 0, 0] = 1
+    hb = np.zeros((B, 1, W), np.int32)
+    hb[:, 0, 0] = 1
+    pha = np.zeros((B, 1, W), np.int32)
+    phb = np.zeros((B, 1, W), np.int32)
+    started = np.zeros((B, 1, 1), np.int32)
+    initf = np.stack([pb, pnb])
+    initi = np.stack([last, ha, hb, pha, phb])
+    return initf, initi, started
+
+
+def beam_scan(
+    probs,  # [B, T, C] softmax
+    seq_lengths,  # [B]
+    beam_width: int,
+    cutoff_top_n: int = 40,
+    cutoff_prob: float = 1.0,
+    blank_id: Optional[int] = None,
+    ignored_symbols: Sequence[int] = (),
+    state: Optional[Tuple] = None,
+) -> Tuple[Tuple, jax.Array, jax.Array]:
+    """Run the fused kernel over a [B, T, C] batch.
+
+    Returns (state', scores [B, W] (W = beam_width), bp [B, T, W] int16)
+    where ``bp`` packs each frame's backpointers as
+    ``(src << 8) | (char + 1)`` — ``unpack_bp`` recovers the
+    (bp_src, bp_char) pair ``rebuild_results`` consumes. Packing halves
+    twice the host transfer (one int16 plane instead of two int32),
+    which dominates decode wall time on remote-attached chips.
+    ``state`` threads streaming chunks (same layout as ``init_state``).
+    """
+    probs = jnp.asarray(probs, jnp.float32)
+    B, T, C = probs.shape
+    W = int(beam_width)
+    if not supports(W, C):
+        raise ValueError(f"beam kernel supports W<={WSLOTS}, C<={LANES-1}")
+    blank = C - 1 if blank_id is None else int(blank_id)
+    nign, rank_static = _masks(
+        C, blank, tuple(int(i) for i in ignored_symbols), blank_id is None
+    )
+    if state is None:
+        initf, initi, st0 = init_state(B)
+    else:
+        initf, initi, st0 = state
+    padded = jnp.zeros((B, T, LANES), jnp.float32).at[:, :, :C].set(probs)
+    ptb = jnp.swapaxes(padded, 0, 1)[:, :, None, :]  # [T, B, 1, L]
+    lens = jnp.asarray(seq_lengths, jnp.int32).reshape(B, 1, 1)
+    bp, outf, outi, stF = _beam_scan_call(
+        ptb,
+        lens,
+        jnp.asarray(nign),
+        jnp.asarray(rank_static),
+        jnp.asarray(initf),
+        jnp.asarray(initi),
+        jnp.asarray(st0),
+        w_real=W,
+        n_class=C,
+        blank=blank,
+        cutoff_top_n=int(cutoff_top_n),
+        cutoff_prob=float(cutoff_prob),
+    )
+    scores = jnp.logaddexp(outf[0, :, 0, :W], outf[1, :, 0, :W])  # [B, W]
+    packed = jnp.transpose(bp[:, :, 0, :W], (1, 0, 2)).astype(jnp.int16)
+    return (outf, outi, stF), scores, packed
+
+
+def unpack_bp(packed: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side unpack of beam_scan's int16 plane -> (bp_src, bp_char)."""
+    p = np.asarray(packed).astype(np.int32)
+    return p >> 8, (p & 0xFF) - 1
