@@ -125,6 +125,38 @@ def bench_beam_scorer_decode():
     emit("beam_scorer_decode_throughput", batch * seconds / best)
 
 
+def bench_device_beam_decode():
+    """No-LM beam decode with the fused Pallas expansion/prune kernel
+    (ops/beam_kernel.py): the whole per-frame beam step runs on the
+    chip, the host only walks one int16 backpointer plane. The
+    reference has no device-side decode at all — its decoder is
+    host-C++ whose per-frame work scales with n_alphabet x beam."""
+    from stt_tpu.alphabet import Alphabet
+    from stt_tpu.decode.device import ctc_beam_search_decoder_device
+
+    alphabet = Alphabet(ALPHABET_TXT)
+    rng = np.random.RandomState(0)
+    batch, seconds = 16, 10.0
+    frames = int(seconds / 0.02)
+    probs = speechlike_probs(rng, batch, frames, alphabet.size + 1)
+    lengths = [frames] * batch
+
+    def run():
+        return ctc_beam_search_decoder_device(
+            probs, lengths, alphabet, beam_size=128,
+            cutoff_prob=1.0, cutoff_top_n=40,
+        )
+
+    run()  # compile
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        w = time.time() - t0
+        best = w if best is None else min(best, w)
+    emit("device_beam_decode_throughput", batch * seconds / best)
+
+
 def bench_streaming_rtf():
     from stt_tpu.alphabet import Alphabet
     from stt_tpu.frontend import FeatureConfig
@@ -251,6 +283,7 @@ def main():
     only = os.environ.get("STT_TPU_BENCH_ONLY", "")
     benches = [
         ("beam", bench_beam_scorer_decode),
+        ("devbeam", bench_device_beam_decode),
         ("stream", bench_streaming_rtf),
         ("train", bench_train_step),
         ("batch", bench_batch_inference),  # headline: LAST json line
