@@ -75,12 +75,16 @@ def _use_pallas_kernel(beam_width: int, n_class: int) -> bool:
 
     if not beam_kernel.supports(beam_width, n_class):
         return False
-    if beam_kernel._INTERPRET:
-        return True
     try:
-        return jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover - no backend at all
         return False
+    if on_tpu:
+        # real hardware always runs the compiled kernel — a leaked
+        # STT_TPU_BEAM_KERNEL_INTERPRET=1 must not route production
+        # decode through the (orders-of-magnitude slower) interpreter
+        return True
+    return beam_kernel._INTERPRET
 
 NEG_INF = -jnp.inf
 _FLT_MIN = 1.1754944e-38  # NUM_FLT_MIN log floor, decoder_utils.h

@@ -351,3 +351,121 @@ class GCSHandler(PathHandler):
 
 
 register_scheme("gs", GCSHandler())
+
+
+# -- hdfs -------------------------------------------------------------------
+
+
+class HDFSHandler(PathHandler):
+    """hdfs://namenode[:rpc_port]/path over the WebHDFS REST API.
+
+    The reference reaches HDFS through TensorFlow's C++ libhdfs binding
+    (util/io.py:9-38 routes hdfs:// through tf.io.gfile); here the
+    namenode's WebHDFS endpoint is spoken directly with stdlib urllib —
+    no JVM or native hadoop client in the image. The HTTP port comes
+    from HDFS_WEBHDFS_PORT (default 9870, the Hadoop 3 default) and the
+    authenticated user from HADOOP_USER_NAME.
+    """
+
+    @staticmethod
+    def _parse(path: str) -> Tuple[str, str]:
+        assert path.startswith("hdfs://"), path
+        rest = path[7:]
+        authority, _, key = rest.partition("/")
+        host = authority.rsplit(":", 1)[0] if authority else authority
+        return host, "/" + key
+
+    def _url(self, host: str, key: str, op: str, **params) -> str:
+        port = os.environ.get("HDFS_WEBHDFS_PORT", "9870")
+        q = {"op": op}
+        user = os.environ.get("HADOOP_USER_NAME")
+        if user:
+            q["user.name"] = user
+        q.update(params)
+        return (
+            f"http://{host}:{port}/webhdfs/v1"
+            f"{urllib.parse.quote(key)}?{urllib.parse.urlencode(q)}"
+        )
+
+    def _request(self, url: str, data=None, method="GET"):
+        req = urllib.request.Request(url, data=data, method=method)
+        return urllib.request.urlopen(req, timeout=60)
+
+    def _status(self, path: str):
+        host, key = self._parse(path)
+        try:
+            resp = json.loads(
+                self._request(self._url(host, key, "GETFILESTATUS")).read()
+            )
+            return resp["FileStatus"]
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+
+    def exists(self, path):
+        return self._status(path) is not None
+
+    def isdir(self, path):
+        st = self._status(path)
+        return bool(st) and st["type"] == "DIRECTORY"
+
+    def open(self, path, mode="r"):
+        host, key = self._parse(path)
+        binary = "b" in mode
+        if "r" in mode:
+            data = self._request(self._url(host, key, "OPEN")).read()
+            return _stdio.BytesIO(data) if binary else _stdio.StringIO(
+                data.decode("utf-8")
+            )
+        handler = self
+
+        class _Writer(_stdio.BytesIO if binary else _stdio.StringIO):
+            def close(inner):
+                payload = inner.getvalue()
+                if not binary:
+                    payload = payload.encode("utf-8")
+                handler._request(
+                    handler._url(host, key, "CREATE", overwrite="true"),
+                    data=payload,
+                    method="PUT",
+                )
+                super().close()
+
+        return _Writer()
+
+    def _list(self, path: str) -> List[dict]:
+        host, key = self._parse(path)
+        resp = json.loads(
+            self._request(self._url(host, key, "LISTSTATUS")).read()
+        )
+        return resp["FileStatuses"]["FileStatus"]
+
+    def listdir(self, path):
+        return sorted(st["pathSuffix"] for st in self._list(path))
+
+    def glob(self, pattern):
+        host, key = self._parse(pattern)
+        base = key.split("*", 1)[0].rsplit("/", 1)[0] or "/"
+        prefix = f"hdfs://{host}"
+        out = []
+        for st in self._list(f"{prefix}{base}"):
+            full = posixpath.join(base, st["pathSuffix"])
+            if fnmatch.fnmatchcase(full, key):
+                out.append(f"{prefix}{full}")
+        return sorted(out)
+
+    def remove(self, path):
+        host, key = self._parse(path)
+        self._request(
+            self._url(host, key, "DELETE"), method="DELETE"
+        ).read()
+
+    def rmtree(self, path):
+        host, key = self._parse(path)
+        self._request(
+            self._url(host, key, "DELETE", recursive="true"), method="DELETE"
+        ).read()
+
+
+register_scheme("hdfs", HDFSHandler())

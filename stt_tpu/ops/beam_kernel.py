@@ -34,8 +34,13 @@ Design notes (what maps where):
   in the XLA version, because the carried flat indices replicate its
   tie-breaking. Stages shrink with the data: per-slot group sort on
   ``[B, W, next_pow2(C+1)]`` lanes, then row-pair merges that halve the
-  live rows each level. Flat indices are unique by construction, which
-  makes the compare-exchange network safe (no equal-key duplication).
+  live rows each level. Flat indices of LIVE pool entries are unique by
+  construction, which makes the compare-exchange network safe (no
+  equal-key duplication). Two classes of entries do collide with real
+  child flat indices — exist lanes >= w_real (flat = lane) and filler
+  class rows (class C or the alignment pad) — but every such entry
+  carries value -inf, so (value desc, flat asc) ordering places them
+  strictly after all live keys and they land on dead slots.
 
 Capacity: W <= 128 beam slots and C <= 127 classes (the exist-score
 lane is parked at lane C). Wider beams or bytes-mode alphabets
@@ -262,6 +267,15 @@ def _frame_step(
         if cutoff_prob < 1.0:
             rank_col = _swap(rank)  # [B,L,1]
             leq = rank_col <= rank  # [B,L,L]
+            # KNOWN DIVERGENCE: this masked sum accumulates the mass of
+            # the top-(rank+1) candidates in whatever order the VPU
+            # reduction picks, while the XLA twin (device.py cumsum) and
+            # the host decoder accumulate sequentially in sorted order.
+            # FP rounding exactly at the cutoff_prob threshold can
+            # therefore flip cutlen by one between the paths. The export
+            # default (cutoff_prob=1.0) never takes this branch; the
+            # equivalence suite pins cutoff_prob values away from mass
+            # boundaries.
             cum = jnp.sum(jnp.where(leq, sp_col + jnp.zeros((B, L, L), jnp.float32), 0.0), axis=1, keepdims=True)
             trigger = (cum >= cutoff_prob) | (rank + 1 >= cutoff_top_n)
             cutlen = jnp.min(
@@ -559,6 +573,7 @@ def _make_kernel(B, T, w_real, n_class, blank, cutoff_top_n, cutoff_prob):
     jax.jit,
     static_argnames=(
         "w_real", "n_class", "blank", "cutoff_top_n", "cutoff_prob",
+        "interpret",
     ),
 )
 def _beam_scan_call(
@@ -575,6 +590,7 @@ def _beam_scan_call(
     blank: int,
     cutoff_top_n: int,
     cutoff_prob: float,
+    interpret: bool = False,
 ):
     T, B = probs.shape[0], probs.shape[1]
     W, L = WSLOTS, LANES
@@ -614,7 +630,7 @@ def _beam_scan_call(
             # parent-match matrices) exceed the 16M default scoped vmem
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=_INTERPRET,
+        interpret=interpret,
     )(lens, nign, rank_static, initf, initi, st0, probs)
     return bp, outf, outi, stF
 
@@ -713,6 +729,9 @@ def beam_scan(
         w_real=W,
         n_class=C,
         blank=blank,
+        # interpret mode is a CPU-test vehicle only: on real TPU a leaked
+        # STT_TPU_BEAM_KERNEL_INTERPRET=1 must not slow production decode
+        interpret=_INTERPRET and jax.default_backend() != "tpu",
         cutoff_top_n=int(cutoff_top_n),
         cutoff_prob=float(cutoff_prob),
     )

@@ -147,3 +147,99 @@ def test_trie_load_harness(capsys):
 
     assert main([SCORER, ALPHABET, "arcs"]) == 0
     assert "-> state" in capsys.readouterr().out
+
+
+class _FakeWebHDFS:
+    """In-memory WebHDFS namenode: answers HDFSHandler's REST calls.
+
+    Mirrors the JSON shapes of the real API (GETFILESTATUS, OPEN,
+    CREATE, LISTSTATUS, DELETE) so the handler's request/parse logic is
+    exercised end-to-end minus the socket."""
+
+    def __init__(self):
+        self.files = {}  # "/path" -> bytes
+
+    def __call__(self, url, data=None, method="GET"):
+        import io as _io
+        import json as _json
+        import urllib.error
+        import urllib.parse
+
+        parsed = urllib.parse.urlparse(url)
+        assert parsed.path.startswith("/webhdfs/v1")
+        key = urllib.parse.unquote(parsed.path[len("/webhdfs/v1"):]) or "/"
+        q = dict(urllib.parse.parse_qsl(parsed.query))
+        op = q["op"]
+
+        def reply(obj):
+            return _io.BytesIO(_json.dumps(obj).encode())
+
+        def http404():
+            return urllib.error.HTTPError(url, 404, "not found", {}, _io.BytesIO(b""))
+
+        if op == "GETFILESTATUS":
+            if key in self.files:
+                return reply({"FileStatus": {"type": "FILE", "length": len(self.files[key]), "pathSuffix": ""}})
+            prefix = key.rstrip("/") + "/"
+            if any(k.startswith(prefix) for k in self.files):
+                return reply({"FileStatus": {"type": "DIRECTORY", "length": 0, "pathSuffix": ""}})
+            raise http404()
+        if op == "OPEN":
+            if key not in self.files:
+                raise http404()
+            return _io.BytesIO(self.files[key])
+        if op == "CREATE":
+            assert method == "PUT"
+            self.files[key] = data or b""
+            return _io.BytesIO(b"")
+        if op == "LISTSTATUS":
+            prefix = key.rstrip("/") + "/" if key != "/" else "/"
+            names = {}
+            for k in self.files:
+                if not k.startswith(prefix):
+                    continue
+                rest = k[len(prefix):]
+                head = rest.split("/", 1)[0]
+                names[head] = "DIRECTORY" if "/" in rest else "FILE"
+            if not names and key not in self.files:
+                raise http404()
+            return reply({"FileStatuses": {"FileStatus": [
+                {"pathSuffix": n, "type": t, "length": 0} for n, t in sorted(names.items())
+            ]}})
+        if op == "DELETE":
+            if q.get("recursive") == "true":
+                prefix = key.rstrip("/") + "/"
+                doomed = [k for k in self.files if k == key or k.startswith(prefix)]
+            else:
+                doomed = [key] if key in self.files else []
+            for k in doomed:
+                del self.files[k]
+            return reply({"boolean": bool(doomed)})
+        raise AssertionError(f"unexpected op {op}")
+
+
+def test_hdfs_handler_webhdfs(monkeypatch):
+    from stt_tpu.io import HDFSHandler
+
+    fake = _FakeWebHDFS()
+    handler = HDFSHandler()
+    monkeypatch.setattr(handler, "_request", fake)
+    register_scheme("hdfs", handler)
+
+    assert is_remote_path("hdfs://nn:8020/data/x.csv")
+    with open_remote("hdfs://nn:8020/data/x.csv", "w") as f:
+        f.write("a,b\n1,2\n")
+    with open_remote("hdfs://nn:8020/data/y.bin", "wb") as f:
+        f.write(b"\x00\x01")
+    assert path_exists_remote("hdfs://nn:8020/data/x.csv")
+    assert not path_exists_remote("hdfs://nn:8020/data/missing")
+    assert isdir_remote("hdfs://nn:8020/data")
+    assert not isdir_remote("hdfs://nn:8020/data/x.csv")
+    assert listdir_remote("hdfs://nn:8020/data") == ["x.csv", "y.bin"]
+    assert glob_remote("hdfs://nn:8020/data/*.csv") == ["hdfs://nn/data/x.csv"]
+    with open_remote("hdfs://nn:8020/data/x.csv") as f:
+        assert f.read() == "a,b\n1,2\n"
+    remove_remote("hdfs://nn:8020/data/y.bin")
+    assert not path_exists_remote("hdfs://nn:8020/data/y.bin")
+    rmtree_remote("hdfs://nn:8020/data")
+    assert not isdir_remote("hdfs://nn:8020/data")
