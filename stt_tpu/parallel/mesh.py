@@ -55,11 +55,26 @@ def param_sharding(mesh: Mesh, params, shard_model_axis: bool = False):
         spec = jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
         return spec
 
+    n_model = mesh.shape["model"]
+
     def leaf_spec(path, leaf):
-        if leaf.ndim == 2:
-            return NamedSharding(mesh, P(None, "model"))
-        if leaf.ndim == 1:
-            return NamedSharding(mesh, P("model"))
-        return NamedSharding(mesh, P())
+        return NamedSharding(mesh, model_partition_spec(leaf, n_model))
 
     return jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+
+def model_partition_spec(leaf, n_model: int) -> P:
+    """Tensor-parallel PartitionSpec for one param/optimizer leaf.
+
+    Output (last) dim of matrices and the length of vectors shard over
+    'model' — but only when evenly divisible: GSPMD would silently pad
+    uneven shards, while the explicit shard_map TP step (train.step
+    make_train_step_tp) requires identical even layouts, and the two
+    must agree so TrainStates are interchangeable. The n_out=29 logits
+    layer therefore stays replicated.
+    """
+    if leaf.ndim == 2 and leaf.shape[1] % n_model == 0:
+        return P(None, "model")
+    if leaf.ndim == 1 and leaf.shape[0] % n_model == 0 and leaf.shape[0] >= n_model:
+        return P("model")
+    return P()

@@ -5,6 +5,7 @@ from stt_tpu.train.step import (
     make_eval_step,
     make_train_step,
     make_train_step_dp,
+    make_train_step_tp,
 )
 
 __all__ = [
@@ -13,5 +14,6 @@ __all__ = [
     "create_train_state",
     "make_train_step",
     "make_train_step_dp",
+    "make_train_step_tp",
     "make_eval_step",
 ]

@@ -183,3 +183,132 @@ def make_train_step_dp(
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_train_step_tp(
+    config: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+):
+    """Explicit tensor+data-parallel train step as a shard_map over the
+    full ('data', 'model') mesh, with the fused Pallas LSTM kernels
+    engaged per model shard (stt_tpu.parallel.tp).
+
+    Param/optimizer leaves shard per parallel.mesh.model_partition_spec
+    (matrices split their output dim over 'model'; the TrainState layout
+    is identical to the GSPMD step under param_sharding, so the two
+    steps are interchangeable mid-training). Inside the region each
+    device holds local shards; apply_model_tp inserts the collectives:
+    column-parallel projections, and the recurrence batch-resharded by
+    one all_to_all so the fused kernel runs full-width on B/K utterances
+    instead of paying a per-timestep h all_gather.
+
+    Gradients of sharded leaves arrive local via the collective
+    transposes; pmean over 'data' matches make_train_step_dp's tower
+    semantics. Equality with the GSPMD TP step is gated on the CPU mesh
+    in tests/test_sharding.py.
+    """
+    import dataclasses as _dataclasses
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from stt_tpu.parallel.mesh import model_partition_spec
+    from stt_tpu.parallel.tp import apply_model_tp
+
+    n_model = mesh.shape["model"]
+    local_config = _dataclasses.replace(config, force_fused=True)
+
+    def _pspec_tree(tree):
+        return jax.tree.map(
+            lambda leaf: model_partition_spec(leaf, n_model), tree
+        )
+
+    def bind(state_like: TrainState):
+        """The in/out specs depend on leaf shapes; bind once per state
+        structure (the trainer calls this with a concrete or abstract
+        TrainState whose leaves carry the FULL shapes)."""
+        specs = TrainState(
+            step=P(),
+            params=_pspec_tree(state_like.params),
+            opt_state=_pspec_tree(state_like.opt_state),
+        )
+        # grad-norm bookkeeping below classifies leaves by the full-shape
+        # layout, not local shard shapes (uneven-but-divisible edge cases)
+        param_sharded_flags = jax.tree.map(
+            lambda spec: any(ax is not None for ax in spec), specs.params
+        )
+
+        def local_step(state: TrainState, batch: Batch, rng: jax.Array):
+            dropout_rng = jax.random.fold_in(rng, state.step)
+            dropout_rng = jax.random.fold_in(
+                dropout_rng, jax.lax.axis_index("data")
+            )
+
+            def loss_fn(params):
+                logits, _ = apply_model_tp(
+                    params,
+                    batch.features,
+                    seq_len=batch.feature_lengths,
+                    config=local_config,
+                    dropout_rng=dropout_rng,
+                )
+                losses = ctc_loss(
+                    logits, batch.feature_lengths, batch.labels,
+                    batch.label_lengths,
+                )
+                finite = jnp.isfinite(losses)
+                n_finite = jnp.maximum(jnp.sum(finite), 1)
+                mean_loss = jnp.sum(jnp.where(finite, losses, 0.0)) / n_finite
+                return mean_loss, (losses, finite)
+
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (losses, finite)), grads = grad_fn(state.params)
+            # Every model shard computes the (replicated) loss, so the
+            # all_gather transposes deliver K identical cotangent copies
+            # into each SHARDED leaf (psum over 'model') — exactly K x
+            # the true gradient; replicated leaves get only their local
+            # (already exact) gradient. Rescale the sharded ones.
+            grads = jax.tree.map(
+                lambda g, is_sharded: g / n_model if is_sharded else g,
+                grads, param_sharded_flags,
+            )
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            # norm over the distributed grad tree: sharded leaves
+            # contribute their local square-sum once per model shard
+            # (psum over 'model'), replicated leaves are identical across
+            # 'model' (count once)
+            sq_sharded = jnp.float32(0.0)
+            sq_repl = jnp.float32(0.0)
+            for leaf, is_sharded in zip(
+                jax.tree.leaves(grads), jax.tree.leaves(param_sharded_flags)
+            ):
+                s = jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+                if is_sharded:
+                    sq_sharded = sq_sharded + s
+                else:
+                    sq_repl = sq_repl + s
+            grad_norm = jnp.sqrt(
+                jax.lax.psum(sq_sharded, "model") + sq_repl
+            )
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(state.step + 1, params, opt_state)
+            return new_state, StepMetrics(loss, losses, ~finite, grad_norm)
+
+        sharded = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(specs, P("data"), P()),
+            out_specs=(
+                specs,
+                StepMetrics(P(), P("data"), P("data"), P()),
+            ),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    return bind
