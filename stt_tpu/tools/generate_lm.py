@@ -57,15 +57,49 @@ def build_lm(
     output_dir: str,
     arpa_order: int,
     vocab_set=None,
-    discount: float = 0.75,
+    discount: float = None,
+    arpa_prune: str = "0",
+    discount_fallback: bool = False,
 ):
-    from stt_tpu.lm.arpa import estimate_kneser_ney, write_arpa
+    """Estimate + package the LM. Default estimator is the lmplz
+    algorithm (modified KN, per-order count-of-counts discounts —
+    reference data/lm/generate_lm.py:79-97 shells to lmplz with --order/
+    --prune/--discount_fallback); pass a fixed `discount` to use the
+    simple absolute-discount estimator instead."""
+    from stt_tpu.lm.arpa import (
+        estimate_kneser_ney,
+        estimate_kneser_ney_lmplz,
+        write_arpa,
+    )
     from stt_tpu.lm.trie_writer import write_trie_binary
 
-    sentences = (line.split() for line in load_lines(filtered_path))
-    model = estimate_kneser_ney(
-        sentences, order=arpa_order, discount=discount, vocabulary=vocab_set
-    )
+    sentences = [line.split() for line in load_lines(filtered_path)]
+    if discount is None:
+        from stt_tpu.lm.arpa import DiscountEstimationError
+
+        prune = [int(x) for x in str(arpa_prune).split("|")]
+        try:
+            model = estimate_kneser_ney_lmplz(
+                sentences, order=arpa_order, vocabulary=vocab_set,
+                discount_fallback=discount_fallback, prune=prune,
+            )
+        except DiscountEstimationError as exc:
+            # lmplz aborts here and tells the user to rerun with
+            # --discount_fallback; tiny corpora are common for domain
+            # scorers, so retry with the fallback discounts and say so
+            print(
+                f"Could not estimate Kneser-Ney discounts ({exc}); "
+                "using --discount_fallback defaults 0.5/1.0/1.5"
+            )
+            model = estimate_kneser_ney_lmplz(
+                sentences, order=arpa_order, vocabulary=vocab_set,
+                discount_fallback=True, prune=prune,
+            )
+    else:
+        model = estimate_kneser_ney(
+            sentences, order=arpa_order, discount=discount,
+            vocabulary=vocab_set,
+        )
     arpa_path = os.path.join(output_dir, "lm.arpa")
     write_arpa(model, arpa_path)
     binary_path = os.path.join(output_dir, "lm.binary")
@@ -82,7 +116,20 @@ def main(argv=None):
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--top_k", type=int, default=500000)
     parser.add_argument("--arpa_order", type=int, default=4)
-    parser.add_argument("--discount", type=float, default=0.75)
+    parser.add_argument(
+        "--discount", type=float, default=None,
+        help="fixed discount for the simple estimator; default uses "
+             "lmplz-style count-of-counts estimation",
+    )
+    parser.add_argument(
+        "--arpa_prune", default="0",
+        help="'|'-separated per-order minimum counts (lmplz --prune)",
+    )
+    parser.add_argument(
+        "--discount_fallback", action="store_true",
+        help="fall back to 0.5/1.0/1.5 discounts on tiny corpora "
+             "(lmplz --discount_fallback)",
+    )
     args = parser.parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
     if args.input_arpa:
@@ -110,7 +157,7 @@ def main(argv=None):
         args.input_txt, args.output_dir, args.top_k
     )
     build_lm(filtered, args.output_dir, args.arpa_order, vocab_set,
-             args.discount)
+             args.discount, args.arpa_prune, args.discount_fallback)
 
 
 if __name__ == "__main__":

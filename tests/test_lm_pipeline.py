@@ -216,3 +216,119 @@ def test_arpa_scorer_package_direct(tmp_path):
     assert scorer.alpha == pytest.approx(0.5)
     p = scorer.get_log_cond_prob(["dark", "suit"], bos=False)
     assert -20 < p < 0
+
+
+def _normalization_defect(model, contexts):
+    """max |1 - sum_w P(w|ctx)| over the given contexts, scoring through
+    the ARPA backoff walk over the full predictable vocabulary."""
+    vocab = [w for w in model.vocabulary if w != "<s>"]
+    worst = 0.0
+    for ctx in contexts:
+        total = sum(10.0 ** model.score(ctx, w) for w in vocab)
+        worst = max(worst, abs(1.0 - total))
+    return worst
+
+
+def test_lmplz_estimator_normalizes():
+    """Every context's conditional distribution sums to 1 — the
+    invariant real lmplz output satisfies (interpolated modified KN is
+    a proper distribution). This is the strongest estimator gate
+    available in this image: the reference's vendored kenlm ships
+    query-only (no lm/builder), so lmplz itself cannot be built here."""
+    from stt_tpu.lm.arpa import estimate_kneser_ney_lmplz
+
+    rng = np.random.RandomState(7)
+    # Zipfian vocabulary so every order has populated counts-of-counts
+    # (n1..n4 > 0), like natural text — the regime lmplz's estimator
+    # expects
+    words = [f"w{i}" for i in range(150)]
+    zipf = 1.0 / np.arange(1, len(words) + 1)
+    zipf /= zipf.sum()
+    sentences = [
+        list(rng.choice(words, size=rng.randint(3, 9), p=zipf))
+        for _ in range(400)
+    ]
+    model = estimate_kneser_ney_lmplz(sentences, order=3)
+    contexts = [()]
+    contexts += [g for g in model.ngrams[0] if g != ("<s>",)][:20]
+    contexts += [("<s>",)]
+    contexts += list(model.ngrams[1])[:30]
+    defect = _normalization_defect(model, contexts)
+    assert defect < 1e-9, defect
+
+
+def test_lmplz_estimator_normalizes_with_pruning():
+    from stt_tpu.lm.arpa import estimate_kneser_ney_lmplz
+
+    rng = np.random.RandomState(3)
+    words = [f"w{i}" for i in range(30)]
+    sentences = [
+        [words[rng.randint(len(words))] for _ in range(rng.randint(3, 8))]
+        for _ in range(400)
+    ]
+    model = estimate_kneser_ney_lmplz(
+        sentences, order=3, prune=[0, 0, 2], discount_fallback=True
+    )
+    contexts = [(), ("<s>",)] + list(model.ngrams[0])[:15] + list(
+        model.ngrams[1]
+    )[:25]
+    contexts = [c for c in contexts if c != ("<s>",) or True]
+    defect = _normalization_defect(model, contexts)
+    assert defect < 1e-9, defect
+    # pruned model stays reachable: every kept n-gram's prefix exists
+    for n in range(2, 4):
+        for g in model.ngrams[n - 1]:
+            assert g[:-1] in model.ngrams[n - 2], g
+
+
+def test_lmplz_discount_formula_hand_computed():
+    """D1/D2/D3 follow lmplz's count-of-counts formula exactly."""
+    from collections import Counter
+
+    from stt_tpu.lm.arpa import estimate_discounts
+
+    # craft adjusted counts with known counts-of-counts
+    # n1=4, n2=3, n3=2, n4=1
+    table = Counter({("a",): 1, ("b",): 1, ("c",): 1, ("d",): 1,
+                     ("e",): 2, ("f",): 2, ("g",): 2,
+                     ("h",): 3, ("i",): 3, ("j",): 4})
+    [ds] = estimate_discounts([table])
+    y = 4 / (4 + 2 * 3)
+    assert abs(ds[0] - (1 - 2 * y * 3 / 4)) < 1e-12
+    assert abs(ds[1] - (2 - 3 * y * 2 / 3)) < 1e-12
+    assert abs(ds[2] - (3 - 4 * y * 1 / 2)) < 1e-12
+
+
+def test_lmplz_estimator_through_query_oracle(tmp_path, kenlm_query_tool):
+    """Build an lmplz-style ARPA, binarize it with OUR trie writer, and
+    check OUR reader and the reference's vendored kenlm query tool agree
+    on its scores — closing the loop estimator -> binary -> query."""
+    from stt_tpu.lm.arpa import estimate_kneser_ney_lmplz, write_arpa
+    from stt_tpu.lm.kenlm import KenLMModel
+    from stt_tpu.lm.trie_writer import write_trie_binary
+
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    sentences = [
+        [words[rng.randint(len(words))] for _ in range(rng.randint(2, 7))]
+        for _ in range(150)
+    ]
+    model = estimate_kneser_ney_lmplz(
+        sentences, order=3, discount_fallback=True
+    )
+    arpa = str(tmp_path / "lm.arpa")
+    write_arpa(model, arpa)
+    binary = str(tmp_path / "lm.binary")
+    with open(binary, "wb") as f:
+        f.write(write_trie_binary(model))
+
+    reader = KenLMModel.from_file(binary)
+    text = "alpha beta gamma delta"
+    ours, _ = reader.score_sentence(text.split())
+    r = subprocess.run(
+        [kenlm_query_tool, binary], input=text + "\n",
+        capture_output=True, text=True, timeout=60,
+    )
+    fields = [t for t in r.stdout.split("\t") if "=" in t]
+    oracle = sum(float(t.split(" ")[-1]) for t in fields)
+    assert abs(ours - oracle) < 2e-4, (ours, oracle)
