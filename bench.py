@@ -200,6 +200,130 @@ def bench_streaming_rtf():
     emit("streaming_rtf_x_realtime", 1.0 / rtf)
 
 
+def bench_stream_pool_capacity():
+    """Max concurrent streams sustained at RTF >= 1.0 through the
+    batched StreamPool (serve/pool.py) — the number a serving deployment
+    actually provisions by. Streams are fed round-robin in 320 ms
+    chunks; a pool size N counts as sustained when decoding N x 10 s of
+    audio takes <= 10 s of wall clock."""
+    import tempfile
+
+    from stt_tpu.alphabet import Alphabet
+    from stt_tpu.artifact import build_metadata, save_artifact
+    from stt_tpu.frontend import FeatureConfig
+    from stt_tpu.models import ModelConfig, init_params
+    from stt_tpu.serve import Model
+    from stt_tpu.serve.pool import StreamPool
+
+    alphabet = Alphabet(ALPHABET_TXT)
+    config = ModelConfig(dropout_rates=(0.0,) * 6)  # full 2048 geometry
+    # host-built params: device->host of ~190 MB costs minutes on the
+    # tunneled runtime (~2 MB/s), so never materialize weights on device
+    # just to save them
+    shapes = jax.eval_shape(
+        lambda: init_params(jax.random.PRNGKey(0), config)
+    )
+    hrng = np.random.RandomState(0)
+    params = jax.tree.map(
+        lambda s: (hrng.randn(*s.shape) * 0.05).astype(s.dtype), shapes
+    )
+    feature_config = FeatureConfig()
+    with tempfile.TemporaryDirectory() as tmp:
+        meta = build_metadata(config, feature_config, alphabet, beam_width=64)
+        path = save_artifact(os.path.join(tmp, "model"), params, meta, alphabet)
+        model = Model(path)
+        rng = np.random.RandomState(0)
+        seconds = 10.0
+        audio = (rng.randn(int(16000 * seconds)) * 0.1).astype(np.float32)
+        chunk = 320 * 16
+        max_slots = 64
+        # ONE pool at the provisioned capacity: the batched device
+        # programs compile once for the [max_slots, ...] shapes and the
+        # device cost per tick is constant; what scales with the number
+        # of ACTIVE streams is host decode — exactly the serving-time
+        # trade-off being measured
+        pool = StreamPool(model, max_streams=max_slots)
+
+        def run(n):
+            streams = [pool.create_stream() for _ in range(n)]
+            t0 = time.time()
+            for start in range(0, len(audio), chunk):
+                piece = audio[start : start + chunk]
+                for s in streams:
+                    s.feed_audio_content(piece)
+            for s in streams:
+                s.finish_stream()
+            return time.time() - t0
+
+        run(2)  # compile the batched programs
+        capacity, best_rate = 0, 0.0
+        for n in (4, 8, 16, 32, 64):
+            wall = run(n)
+            rate = n * seconds / wall
+            if wall <= seconds:
+                capacity, best_rate = n, rate
+            else:
+                if capacity == 0:
+                    capacity, best_rate = 0, rate
+                break
+        emit("stream_pool_capacity", float(capacity))
+        print(
+            f"# stream pool at capacity: {best_rate:.1f} audio-s/s "
+            f"({capacity} concurrent real-time streams)",
+            flush=True,
+        )
+
+
+def bench_e2e_train_epoch():
+    """End-to-end epoch throughput with the input pipeline INCLUDED:
+    CSV -> wav decode -> featurize pool -> prefetch -> jitted train step,
+    at the flagship geometry. The honest companion of
+    train_step_throughput (which feeds synthetic device arrays)."""
+    import tempfile
+
+    from stt_tpu.alphabet import Alphabet
+    from stt_tpu.data.feeding import create_batches
+    from stt_tpu.frontend import FeatureConfig
+    from stt_tpu.models import ModelConfig
+    from stt_tpu.train import create_train_state, make_train_step
+    from stt_tpu.train.step import create_optimizer
+
+    alphabet = Alphabet(ALPHABET_TXT)
+    wav = "/root/reference/data/smoke_test/LDC93S1.wav"
+    rows = 160
+    seconds_per_row = 93638 / 2 / 16000  # pcm16 mono payload
+    config = ModelConfig(compute_dtype="bfloat16", fused_lstm=True)
+    optimizer = create_optimizer()
+    state = create_train_state(jax.random.PRNGKey(0), config, optimizer)
+    train_step = make_train_step(config, optimizer)
+    feature_config = FeatureConfig()
+    key = jax.random.PRNGKey(0)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        csv = os.path.join(tmp, "train.csv")
+        with open(csv, "w") as f:
+            f.write("wav_filename,wav_filesize,transcript\n")
+            for _ in range(rows):
+                f.write(f"{wav},93638,she had your dark suit in greasy "
+                        "wash water all year\n")
+
+        def epoch(e):
+            nonlocal state
+            t0 = time.time()
+            for batch, _ids in create_batches(
+                [csv], alphabet, feature_config, batch_size=32,
+                train_phase=True, epoch=e, total_epochs=3,
+                num_workers=os.cpu_count() or 2, prefetch=4,
+            ):
+                state, metrics = train_step(state, batch, key)
+            float(metrics.loss)  # sync
+            return time.time() - t0
+
+        epoch(0)  # compile (every bucketed shape)
+        wall = min(epoch(1), epoch(2))
+    emit("e2e_train_epoch_throughput", rows * seconds_per_row / wall)
+
+
 def bench_train_step():
     from stt_tpu.models import ModelConfig
     from stt_tpu.train import Batch, create_train_state, make_train_step
@@ -300,6 +424,8 @@ def main():
         ("beam", bench_beam_scorer_decode),
         ("devbeam", bench_device_beam_decode),
         ("stream", bench_streaming_rtf),
+        ("pool", bench_stream_pool_capacity),
+        ("e2e", bench_e2e_train_epoch),
         ("train", bench_train_step),
         ("batch", bench_batch_inference),  # headline: LAST json line
     ]

@@ -1,0 +1,77 @@
+#!/bin/sh
+# Flagship-geometry endurance + accuracy run on real hardware.
+#
+# 1. Train the small smoke model (alignment source) unless a checkpoint
+#    is already present.
+# 2. Synthesize a ~320-utterance corpus with REAL transcript diversity
+#    by splicing word clips cut at CTC-aligned boundaries
+#    (bin/make_spliced_corpus.py), then materialize offline
+#    augmentations (volume/reverb/resample + overlay with the russian
+#    smoke clip as interference) via data_set_tool.
+# 3. Train the FLAGSHIP geometry (n_hidden=2048, bf16, fused Pallas
+#    recurrence kernels) to convergence; loss curve lands in
+#    $work/metrics/train.jsonl via --metrics_files.
+# 4. Evaluate WER with the full beam 500 + the reference's KenLM scorer
+#    on train and dev corpora; gate train WER == 0.
+#
+# Results recorded in doc/ENDURANCE.md.
+set -xe
+
+work="${work:-/tmp/flagship}"
+smoke="${smoke:-/root/reference/data/smoke_test}"
+alphabet="${alphabet:-/root/reference/data/alphabet.txt}"
+align_ckpt="${align_ckpt:-/tmp/ci_ldc93s1_tpu_fused/ckpt}"
+epochs="${epochs:-30}"
+
+mkdir -p "$work"
+
+if [ ! -d "$align_ckpt" ]; then
+  sh bin/run-ci-ldc93s1_tpu_fused.sh 200
+fi
+
+python bin/make_spliced_corpus.py \
+    --out_dir "$work/corpus" --n_train 288 --n_dev 32 \
+    --checkpoint_dir "$align_ckpt" \
+    --alphabet_config_path "$alphabet" --n_hidden 128
+
+# overlay interference comes from the russian smoke sample (the only
+# other recording in the environment)
+python -m stt_tpu.tools.data_set_tool \
+    --sources "$work/corpus/train.csv" \
+    --target "$work/corpus/train_augmented.sdb" \
+    --augment "volume[p=0.5,dbfs=-12:0]" \
+    --augment "reverb[p=0.3,delay=30.0~15.0,decay=8.0~4.0]" \
+    --augment "resample[p=0.2,rate=12000:16000]" \
+    --augment "overlay[p=0.3,source=$smoke/russian_sample_data/ru.csv,snr=15.0~5.0]"
+
+mkdir -p "$work/metrics"
+python -m stt_tpu.train \
+    --train_files "$work/corpus/train_augmented.sdb,$work/corpus/train.csv" \
+    --dev_files "$work/corpus/dev.csv" \
+    --alphabet_config_path "$alphabet" \
+    --checkpoint_dir "$work/ckpt" \
+    --n_hidden 2048 --epochs "$epochs" --learning_rate 0.0002 \
+    --train_batch_size 16 --dev_batch_size 16 \
+    --compute_dtype bfloat16 \
+    --summary_dir "$work/metrics" \
+    | tee "$work/train.log"
+
+python -m stt_tpu.evaluate \
+    --test_files "$work/corpus/train.csv" \
+    --checkpoint_dir "$work/ckpt" \
+    --alphabet_config_path "$alphabet" \
+    --n_hidden 2048 --compute_dtype bfloat16 \
+    --scorer_path "$smoke/pruned_lm.scorer" \
+    --test_output_file "$work/eval_train.json" \
+    | tee "$work/eval_train.log"
+
+python -m stt_tpu.evaluate \
+    --test_files "$work/corpus/dev.csv" \
+    --checkpoint_dir "$work/ckpt" \
+    --alphabet_config_path "$alphabet" \
+    --n_hidden 2048 --compute_dtype bfloat16 \
+    --scorer_path "$smoke/pruned_lm.scorer" \
+    --test_output_file "$work/eval_dev.json" \
+    | tee "$work/eval_dev.log"
+
+grep -o "WER: [0-9.]*" "$work/eval_train.log" | head -1

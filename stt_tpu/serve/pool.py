@@ -38,6 +38,7 @@ class PooledStream:
 
     def intermediate_decode(self) -> str:
         self._pool._tick(force=False)
+        self._pool._drain()
         return self._pool._decoders[self._slot].decode(1)[0].transcript
 
     def finish_stream(self) -> str:
@@ -113,6 +114,63 @@ class StreamPool:
         self._mfcc = jax.jit(batched_mfcc)
         self._infer = jax.jit(batched_infer)
 
+        # fused steady-state round: MFCC + context stacking + windowing +
+        # acoustic step for EVERY slot in one dispatch (the per-dispatch
+        # tunnel round-trip is what bounds pool throughput, exactly as in
+        # the single-stream fused chunk step, stream/streaming.py).
+        # mode per slot: 0 = idle (masked), 1 = prime (first chunk fills
+        # the frame carry, nothing emits), 2 = emit.
+        n_ctx = mc.n_context
+
+        def fused_round(params, chunks, left, pend, c, h, mode):
+            from stt_tpu.frontend import audio_to_mfcc
+
+            new16 = jax.vmap(lambda a: audio_to_mfcc(a, fc))(chunks)
+            stacked = jnp.concatenate(
+                [left, pend, new16[:, :n_ctx]], axis=1
+            )  # [S, N_STEPS + 2*n_ctx, n_input]
+            width = mc.window_width
+            windowed = jnp.stack(
+                [
+                    stacked[:, i : i + width].reshape(stacked.shape[0], -1)
+                    for i in range(N_STEPS)
+                ],
+                axis=1,
+            )
+            seq_len = jnp.where(mode == 2, N_STEPS, 0).astype(jnp.int32)
+            logits, (c2, h2) = apply_model(
+                params, windowed, seq_len=seq_len, config=mc,
+                previous_state=(c, h), overlap=False,
+            )
+            probs = jax.nn.softmax(logits, axis=-1)
+            has = (mode >= 1)[:, None, None]
+            emit = (mode == 2)[:, None, None]
+            left2 = jnp.where(emit, stacked[:, N_STEPS : N_STEPS + n_ctx], left)
+            pend2 = jnp.where(has, new16, pend)
+            if self.device_prune:
+                from stt_tpu.decode.device import prune_emissions
+
+                out = prune_emissions(
+                    probs,
+                    cutoff_top_n=model._cutoff_top_n,
+                    cutoff_prob=model._cutoff_prob,
+                )
+            else:
+                out = probs
+            return out, left2, pend2, c2, h2
+
+        self._fused_round = jax.jit(fused_round)
+        # device-resident frame carries (authoritative for primed slots;
+        # host _pending/_left_ctx take over only at flush)
+        self._left_dev = jnp.zeros(
+            (max_streams, mc.n_context, mc.n_input), jnp.float32
+        )
+        self._pend_dev = jnp.zeros(
+            (max_streams, N_STEPS, mc.n_input), jnp.float32
+        )
+        self._primed = np.zeros((max_streams,), bool)
+        self._inflight = None  # (out_device, {slot: valid})
+
     # -- slot management ---------------------------------------------------
 
     def create_stream(self) -> PooledStream:
@@ -129,6 +187,9 @@ class StreamPool:
                 )
                 self._c = self._c.at[slot].set(0.0)
                 self._h = self._h.at[slot].set(0.0)
+                self._left_dev = self._left_dev.at[slot].set(0.0)
+                self._pend_dev = self._pend_dev.at[slot].set(0.0)
+                self._primed[slot] = False
                 if self.device_decode:
                     from stt_tpu.decode.device import DeviceStreamingDecoder
 
@@ -153,6 +214,8 @@ class StreamPool:
     def _release(self, slot: int) -> None:
         self._live[slot] = False
         self._decoders[slot] = None
+        self._primed[slot] = False
+        self._pending[slot] = []
 
     # -- feeding / ticking -------------------------------------------------
 
@@ -169,34 +232,85 @@ class StreamPool:
         return len(self._audio[slot]) >= self._chunk_samples
 
     def _tick(self, force: bool) -> None:
-        """Advance every slot that has work, in one batched mfcc + one
-        batched infer call."""
+        """Advance the pool in fused batched rounds.
+
+        A round fires when every live slot is chunk-ready (the
+        round-robin serving pattern: one round per 320 ms across the
+        whole pool) or as soon as any slot is 2+ chunks deep (laggards
+        must not stall the pool). Slots without audio tick masked
+        (mode 0); a slot's first chunk only fills its frame carry
+        (mode 1, priming); steady slots emit (mode 2)."""
         fc = self._runtime.feature_config
-        mc = self._runtime.model_config
-        # 1) batched MFCC for slots with a full audio chunk
-        while any(self._mfcc_ready(s) for s in range(self.max_streams)):
+        step = N_STEPS * fc.step_samples
+        while True:
+            live = [s for s in range(self.max_streams) if self._live[s]]
+            ready = [s for s in live if self._mfcc_ready(s)]
+            if not ready:
+                break
+            if not force:
+                all_ready = len(ready) == len(live)
+                deep = any(
+                    len(self._audio[s]) >= self._chunk_samples + step
+                    for s in ready
+                )
+                if not (all_ready or deep):
+                    break
             chunks = np.zeros(
                 (self.max_streams, self._chunk_samples), np.float32
             )
-            had = []
-            for s in range(self.max_streams):
-                if self._mfcc_ready(s):
-                    chunks[s] = self._audio[s][: self._chunk_samples]
-                    self._audio[s] = self._audio[s][N_STEPS * fc.step_samples :]
-                    had.append(s)
-            frames = np.asarray(self._mfcc(jnp.asarray(chunks)))
-            for s in had:
-                self._pending[s].extend(frames[s])
-        # 2) batched inference for slots with enough frames
-        n_ctx = mc.n_context
-        while True:
-            ready = [
-                s for s in range(self.max_streams)
-                if self._live[s] and len(self._pending[s]) >= N_STEPS + n_ctx
-            ]
-            if not ready:
-                break
-            self._run_infer({s: N_STEPS for s in ready})
+            mode = np.zeros((self.max_streams,), np.int32)
+            for s in ready:
+                chunks[s] = self._audio[s][: self._chunk_samples]
+                self._audio[s] = self._audio[s][step:]
+                mode[s] = 2 if self._primed[s] else 1
+            out, self._left_dev, self._pend_dev, self._c, self._h = (
+                self._fused_round(
+                    self._runtime.params, jnp.asarray(chunks),
+                    self._left_dev, self._pend_dev, self._c, self._h,
+                    jnp.asarray(mode),
+                )
+            )
+            emits = {s: N_STEPS for s in ready if self._primed[s]}
+            for s in ready:
+                self._primed[s] = True
+            if emits:
+                self._dispatch_out(out, emits)
+
+    def _dispatch_out(self, out, valid_by_slot: Dict[int, int]) -> None:
+        """Send one round's emissions toward the decoders: device beams
+        consume rows in place; host decoders get the batch async with a
+        one-round drain lag (transfer hides behind the next round)."""
+        if self.device_decode:
+            for s, valid in valid_by_slot.items():
+                if valid > 0:
+                    self._decoders[s].next(out[s], n_valid=valid)
+            return
+        for arr in jax.tree.leaves(out):
+            try:
+                arr.copy_to_host_async()
+            except AttributeError:
+                pass
+        self._drain()
+        self._inflight = (out, dict(valid_by_slot))
+
+    def _drain(self) -> None:
+        if self._inflight is None:
+            return
+        out, valid_by_slot = self._inflight
+        self._inflight = None
+        if self.device_prune:
+            idx, logp, cnt, blank = (np.asarray(a) for a in out)
+            for s, valid in valid_by_slot.items():
+                if valid > 0 and self._live[s]:
+                    self._decoders[s].next_pruned(
+                        idx[s, :valid], logp[s, :valid],
+                        cnt[s, :valid], blank[s, :valid],
+                    )
+        else:
+            probs = np.asarray(out)
+            for s, valid in valid_by_slot.items():
+                if valid > 0 and self._live[s]:
+                    self._decoders[s].next(probs[s, :valid])
 
     def _run_infer(self, valid_by_slot: Dict[int, int]) -> None:
         mc = self._runtime.model_config
@@ -253,6 +367,13 @@ class StreamPool:
     def _flush_slot(self, slot: int) -> None:
         fc = self._runtime.feature_config
         mc = self._runtime.model_config
+        # push buffered full chunks through the fused path, then hand the
+        # device frame carry to the host flush machinery below
+        self._tick(force=True)
+        self._drain()
+        if self._primed[slot]:
+            self._left_ctx[slot] = np.asarray(self._left_dev[slot])
+            self._pending[slot] = list(np.asarray(self._pend_dev[slot]))
         # leftover full windows
         n_full = max(
             0,

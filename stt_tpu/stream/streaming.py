@@ -108,6 +108,57 @@ class StreamingRuntime:
         self._window_infer = jax.jit(window_infer)
         self._pruned_infer_cache = {}
 
+        n_ctx = model_config.n_context
+
+        def fused_chunk_step(params, audio, left_ctx, pend, c, h):
+            """Steady-state chunk step as ONE dispatch: MFCC of the new
+            320 ms of audio, context stacking with the carried frames,
+            windowing, the acoustic step, and the state rollover all in
+            a single jitted program. The per-chunk dispatch count is
+            what bounds single-stream RTF on a remote-attached chip
+            (each tiny device op pays the tunnel round-trip), so the
+            previous mfcc + concat + slice + infer chain is fused.
+
+            left_ctx: [n_ctx, n_input] frames before the emission block;
+            pend: [N_STEPS, n_input] carried frames (the block being
+            emitted); audio: [chunk_samples] producing the next N_STEPS
+            frames. Exactly reproduces the generic path's
+            _emit_chunk(N_STEPS) on stacked = left_ctx ++ pend ++
+            new[:n_ctx] (equivalence-gated in tests/test_streaming_serve).
+            """
+            new16 = audio_to_mfcc(audio, fc)  # [N_STEPS, n_input]
+            stacked = jnp.concatenate([left_ctx, pend, new16[:n_ctx]])
+            seq_len = jnp.asarray(N_STEPS, jnp.int32)
+            probs, c2, h2 = window_infer(params, stacked, seq_len, c, h)
+            left2 = stacked[N_STEPS : N_STEPS + n_ctx]
+            return probs, left2, new16, c2, h2
+
+        self._fused_chunk_step = jax.jit(fused_chunk_step)
+        self._fused_pruned_cache = {}
+
+    def fused_chunk_step_pruned(self, cutoff_top_n: int, cutoff_prob: float):
+        """Fused steady-state chunk step + on-device emission pruning
+        (one dispatch, [N_STEPS, K] transfers). Cached per cutoff."""
+        key = (int(cutoff_top_n), float(cutoff_prob))
+        fn = self._fused_pruned_cache.get(key)
+        if fn is None:
+            from stt_tpu.decode.device import prune_emissions
+
+            base = self._fused_chunk_step.__wrapped__
+
+            def fused_pruned(params, audio, left_ctx, pend, c, h):
+                probs, left2, pend2, c2, h2 = base(
+                    params, audio, left_ctx, pend, c, h
+                )
+                pruned = prune_emissions(
+                    probs, cutoff_top_n=key[0], cutoff_prob=key[1]
+                )
+                return pruned, left2, pend2, c2, h2
+
+            fn = jax.jit(fused_pruned)
+            self._fused_pruned_cache[key] = fn
+        return fn
+
     def window_infer_pruned(self, cutoff_top_n: int, cutoff_prob: float):
         """Compiled chunk step that also prunes emissions on device, so
         only [16, K] (idx, logp) + counts + blank cross to the host
@@ -213,8 +264,23 @@ class StreamState:
         fc = rt.feature_config
         while len(self._audio) >= rt.chunk_samples:
             chunk = self._audio[: rt.chunk_samples]
-            frames = rt._mfcc_chunk(jnp.asarray(chunk))  # stays on device
-            self._pending = jnp.concatenate([self._pending, frames])
+            if self._pending.shape[0] == N_STEPS:
+                # steady state: the whole chunk (MFCC + stacking +
+                # windowing + acoustic step + rollover) is ONE dispatch
+                if self.device_prune:
+                    step = rt.fused_chunk_step_pruned(
+                        self._cutoff_top_n, self._cutoff_prob
+                    )
+                else:
+                    step = rt._fused_chunk_step
+                out, self._left_ctx, self._pending, self._c, self._h = step(
+                    rt.params, jnp.asarray(chunk), self._left_ctx,
+                    self._pending, self._c, self._h,
+                )
+                self._handle_out(out, N_STEPS)
+            else:
+                frames = rt._mfcc_chunk(jnp.asarray(chunk))  # on device
+                self._pending = jnp.concatenate([self._pending, frames])
             self._audio = self._audio[N_STEPS * fc.step_samples :]
 
     def _emit_chunk(self, valid: int) -> None:
@@ -247,6 +313,14 @@ class StreamState:
                 self._c,
                 self._h,
             )
+        self._handle_out(out, valid)
+        # left context for the next chunk = last n_ctx frames before it
+        self._left_ctx = stacked[valid : valid + n_ctx]
+        self._pending = self._pending[valid:]
+
+    def _handle_out(self, out, valid: int) -> None:
+        """Route one chunk's emissions: device beam, or async host pull
+        feeding the host decoder one chunk behind (hides transfer RTT)."""
         if self.device_decode:
             # the beam step consumes the device probs directly; nothing
             # decode-related crosses to the host while feeding
@@ -259,9 +333,6 @@ class StreamState:
                     pass
             self._drain()  # previous transfer had a chunk to finish
             self._inflight = (out, valid)
-        # left context for the next chunk = last n_ctx frames before it
-        self._left_ctx = stacked[valid : valid + n_ctx]
-        self._pending = self._pending[valid:]
 
     def _drain(self) -> None:
         """Feed the in-flight probs to the beam decoder (called before any

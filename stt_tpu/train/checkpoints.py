@@ -61,8 +61,14 @@ class CheckpointManager:
             return []
         out = []
         for name in os.listdir(tag_dir):
-            if name.startswith("step_"):
-                out.append(int(name.split("_", 1)[1]))
+            if not name.startswith("step_"):
+                continue
+            suffix = name.split("_", 1)[1]
+            if not suffix.isdigit():
+                # a crash mid-save leaves step_N.orbax-checkpoint-tmp
+                # behind; it must not break every later restore
+                continue
+            out.append(int(suffix))
         return sorted(out)
 
     def latest_step(self, tag: str) -> Optional[int]:
