@@ -81,6 +81,13 @@ class SttConfig:
     # the spectrogram. Single-host only; ignored (with a warning) on
     # multi-host jobs.
     graph_augs_on_device: bool = False
+    # ship RAW AUDIO to the device and run the MFCC frontend inside the
+    # jitted train step (train.step.make_train_step_audio): host input
+    # work collapses to wav decode + padding, at ~12x larger batch
+    # uploads. The right choice when host featurize CPU is the training
+    # bottleneck; incompatible with host spectrogram/features-domain
+    # graph augmentations (use --graph_augs_on_device for those).
+    device_featurize: bool = False
 
     # -- checkpointing -----------------------------------------------------
     checkpoint_dir: str = ""

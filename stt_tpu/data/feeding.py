@@ -105,6 +105,41 @@ def featurize_sample(
     return mfcc_from_spectrogram_numpy(spec, feature_config)
 
 
+def prepare_sample_audio(
+    sample: Sample,
+    feature_config: FeatureConfig,
+    augmentations: Sequence[Augmentation] = (),
+    train_phase: bool = False,
+    clock: float = 0.0,
+) -> np.ndarray:
+    """Host half of the device-featurize path: rate normalization +
+    sample-domain + signal-domain augmentations only; the STFT/mel/MFCC
+    run on device inside the train step."""
+    if sample.rate != feature_config.sample_rate:
+        from stt_tpu.data.audio import resample
+
+        sample = Sample(
+            sample_id=sample.sample_id,
+            transcript=sample.transcript,
+            duration_hint=sample.duration_hint,
+            _audio=resample(
+                np.asarray(sample.audio, np.float32),
+                sample.rate,
+                feature_config.sample_rate,
+            ),
+            _rate=feature_config.sample_rate,
+        )
+    if train_phase and augmentations:
+        sample = apply_sample_augmentations(
+            sample, augmentations, clock=clock
+        )
+        audio = np.asarray(sample.audio, np.float32)
+        return apply_graph_augmentations(
+            "signal", audio, augmentations, clock=clock
+        )
+    return np.asarray(sample.audio, np.float32)
+
+
 def featurize_sample_spectrogram(
     sample: Sample,
     feature_config: FeatureConfig,
@@ -160,6 +195,7 @@ def create_batches(
     num_workers: int = 0,
     prefetch: int = 0,
     device_augment=None,
+    device_featurize: bool = False,
 ) -> Iterator[Batch]:
     """Yield padded Batch pytrees.
 
@@ -182,6 +218,17 @@ def create_batches(
     float tolerance, threaded BLAS reduction order) — every sample's
     augmentation RNG is seeded by (sample_id, clock), never by worker
     identity — gated by tests/test_data.py.
+
+    device_featurize: batches carry RAW AUDIO ([B, samples] padded so
+    the frontend produces exactly the padded frame count) instead of
+    host-computed MFCCs; the consumer computes features ON DEVICE inside
+    its jitted step (train.step.make_train_step_audio). Host work drops
+    to wav decode + padding, which is what lets the input pipeline keep
+    a TPU-resident train step fed (bench e2e_train_epoch_throughput).
+    feature_lengths still count FRAMES (of the true audio span).
+    Sample-domain and signal-domain augmentations apply on the host;
+    spectrogram/features-domain graph augmentations are rejected (use
+    device_augment for those).
 
     device_augment (a data.device_augment.DeviceAugmentPipeline): the
     on-device graph-augmentation path — batches then carry host
@@ -212,6 +259,18 @@ def create_batches(
     clock_span = 1.0 / max(total_epochs, 1)
     total = max(len(samples), 1)
 
+    if device_featurize:
+        bad = [
+            a for a in augmentations
+            if getattr(a, "domain", None) in ("spectrogram", "features")
+        ]
+        if bad:
+            raise ValueError(
+                "device_featurize cannot apply host graph augmentations "
+                f"in the spectrogram/features domains: {bad}; use "
+                "--graph_augs_on_device for those"
+            )
+
     def featurize_row(args):
         offset, batch_index, sample = args
         clock = clock_base + clock_span * (
@@ -228,10 +287,45 @@ def create_batches(
                 sample.sample_id, spec.shape[0], clock
             )
             return spec, labels, drawn
+        if device_featurize:
+            audio = prepare_sample_audio(
+                sample, feature_config, augmentations, train_phase, clock
+            )
+            return audio, labels, None
         feats = featurize_sample(
             sample, feature_config, augmentations, train_phase, clock
         )
         return feats, labels, None
+
+    def assemble_audio(rows, audio_list, labels_list, ids):
+        """Raw-audio batch: pad samples so the device frontend produces
+        exactly round_up(frames, pad_time_to) frames; feature_lengths
+        count the TRUE frames (CTC masks the padding)."""
+        win = feature_config.window_samples
+        step = feature_config.step_samples
+        b = len(audio_list)
+        t_true = [
+            max(0, (len(a) - win) // step + 1) for a in audio_list
+        ]
+        t_pad = _round_up(max(max(t_true), 1), pad_time_to)
+        s_pad = (t_pad - 1) * step + win
+        l_max = _round_up(max(len(l) for l in labels_list), pad_labels_to)
+        audio = np.zeros((b, s_pad), np.float32)
+        labels = np.zeros((b, l_max), np.int32)
+        feature_lengths = np.zeros((b,), np.int32)
+        label_lengths = np.zeros((b,), np.int32)
+        for i, (a, l) in enumerate(zip(audio_list, labels_list)):
+            audio[i, : len(a)] = a[:s_pad]
+            labels[i, : len(l)] = l
+            feature_lengths[i] = t_true[i]
+            label_lengths[i] = len(l)
+        batch = Batch(
+            features=jnp.asarray(audio),
+            feature_lengths=jnp.asarray(feature_lengths),
+            labels=jnp.asarray(labels),
+            label_lengths=jnp.asarray(label_lengths),
+        )
+        return batch, ids
 
     def batch_tasks():
         for batch_index in order:
@@ -255,6 +349,10 @@ def create_batches(
         feats_list = [feats for feats, _, _ in results]
         labels_list = [labels for _, labels, _ in results]
         drawn_list = [drawn for _, _, drawn in results]
+        if device_featurize and not (
+            device_augment is not None and train_phase
+        ):
+            return assemble_audio(rows, feats_list, labels_list, ids)
         spectrograms = device_augment is not None and train_phase
         width = (
             feature_config.n_bins if spectrograms else feature_config.n_mfcc

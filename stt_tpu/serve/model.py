@@ -66,6 +66,13 @@ class Model:
         MXU path (stt_tpu.ops.quant); streaming chunks stay float (they
         are batch-1, 16-frame dispatches where int8 buys nothing)."""
         params, metadata, alphabet = load_artifact(model_path)
+        # upload the weights ONCE: numpy params passed to a jitted
+        # program re-transfer host->device on EVERY call — at the 2048
+        # geometry that is ~190 MB per chunk step, turning millisecond
+        # inference into ~1 s (measured on the tunneled v5e)
+        import jax
+
+        params = jax.tree.map(jax.numpy.asarray, params)
         self.metadata = metadata
         self.alphabet = alphabet
         self.model_config = model_config_from_metadata(metadata)

@@ -110,6 +110,44 @@ def make_train_step(config: ModelConfig, optimizer: optax.GradientTransformation
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_train_step_audio(
+    config: ModelConfig,
+    optimizer: optax.GradientTransformation,
+    feature_config,
+):
+    """Train step over RAW-AUDIO batches (feeding's device_featurize
+    mode): the MFCC frontend runs ON DEVICE inside the jitted step, so
+    host input work is wav decode + padding. batch.features is
+    [B, samples]; batch.feature_lengths counts true frames. This is how
+    the input pipeline keeps the chip fed at train_step rates — host
+    featurization on a 2-core machine caps at ~1.7k audio-s/s while the
+    step runs ~7.7k (bench.py)."""
+    from stt_tpu.frontend import audio_to_mfcc
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        feats = audio_to_mfcc(batch.features, feature_config)
+        fb = Batch(
+            features=feats,
+            feature_lengths=batch.feature_lengths,
+            labels=batch.labels,
+            label_lengths=batch.label_lengths,
+        )
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (loss, (losses, finite)), grads = grad_fn(
+            state.params, fb, dropout_rng, config
+        )
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, params, opt_state)
+        return new_state, StepMetrics(loss, losses, ~finite, grad_norm)
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
 def make_eval_step(config: ModelConfig):
     """eval_step(params, batch) -> (per-example loss [B], logits [B,T,C])."""
 

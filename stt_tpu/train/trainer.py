@@ -221,7 +221,14 @@ def train(config: SttConfig) -> TrainState:
         )
         return Batch(*[jax.device_put(x, shard) for x in batch])
 
-    train_step = make_train_step(model_config, optimizer)
+    if config.device_featurize:
+        from stt_tpu.train.step import make_train_step_audio
+
+        train_step = make_train_step_audio(
+            model_config, optimizer, feature_config
+        )
+    else:
+        train_step = make_train_step(model_config, optimizer)
     eval_config = config.model_config(training=False)
     eval_step = make_eval_step(eval_config)
     step_rng = jax.random.PRNGKey(config.seed + 1)
@@ -296,6 +303,7 @@ def train(config: SttConfig) -> TrainState:
             row_range=host_rows if proc_count > 1 else None,
             num_workers=input_workers,
             prefetch=config.prefetch_batches,
+            device_featurize=config.device_featurize,
         ):
             yield put_batch(batch), ids
 

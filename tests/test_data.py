@@ -294,3 +294,62 @@ def test_split_audio_file_batches():
     for batch in batches:
         for start, end, seg in batch:
             assert len(seg) > 0
+
+
+def test_device_featurize_batches_match_host_features():
+    """Raw-audio batches + on-device MFCC equal the host-featurized
+    batches (the device/host frontend twins are parity-gated in
+    test_frontend; this gates the batch plumbing: padding so the device
+    frontend yields exactly the padded frame count, true frame lengths,
+    labels)."""
+    import jax
+
+    from stt_tpu.alphabet import Alphabet
+    from stt_tpu.data.feeding import create_batches
+    from stt_tpu.frontend import FeatureConfig, audio_to_mfcc
+
+    alphabet = Alphabet(os.path.join(SMOKE, "../alphabet.txt"))
+    fc = FeatureConfig()
+    csv = os.path.join(SMOKE, "ldc93s1.csv")
+    [(hb, hids)] = list(
+        create_batches([csv], alphabet, fc, batch_size=1)
+    )
+    [(ab, aids)] = list(
+        create_batches([csv], alphabet, fc, batch_size=1,
+                       device_featurize=True)
+    )
+    assert hids == aids
+    assert ab.features.ndim == 2  # raw audio
+    np.testing.assert_array_equal(
+        np.asarray(hb.feature_lengths), np.asarray(ab.feature_lengths)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hb.labels), np.asarray(ab.labels)
+    )
+    feats = jax.jit(lambda a: audio_to_mfcc(a, fc))(ab.features)
+    t = int(ab.feature_lengths[0])
+    np.testing.assert_allclose(
+        np.asarray(feats)[0, :t],
+        np.asarray(hb.features)[0, :t],
+        rtol=1e-4, atol=1e-4,
+    )
+    # padded frame count is exactly the rounded-up bucket
+    assert feats.shape[1] == hb.features.shape[1]
+
+
+def test_trainer_device_featurize_smoke(tmp_path):
+    """--device_featurize end to end through the real trainer CLI."""
+    from stt_tpu.config import initialize_globals_from_cli
+    from stt_tpu.train.trainer import train
+
+    config = initialize_globals_from_cli([
+        "--train_files", os.path.join(SMOKE, "ldc93s1.csv"),
+        "--alphabet_config_path",
+        os.path.join(SMOKE, "../alphabet.txt"),
+        "--checkpoint_dir", str(tmp_path / "ckpt"),
+        "--n_hidden", "32", "--epochs", "2", "--train_batch_size", "1",
+        "--learning_rate", "0.001", "--device_featurize",
+    ])
+    state = train(config)
+    # dummy-run OOM probe contributes one extra step before epoch 0
+    assert int(state.step) >= 2
