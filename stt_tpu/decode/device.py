@@ -48,6 +48,20 @@ The full device path stays opt-in at consumers (config.device_decode /
 STT_TPU_DEVICE_BEAM) because the host C++ decoder with device pruning
 remains the scorer path; for the no-LM path the kernel is now the
 fastest decode on the chip.
+
+Scorer-path status (round 4): beam-500 + KenLM throughput rose 289.8 ->
+~640-690 audio-s/s on the 2-core bench host via the arena/memoized
+native decoder (per-utterance 35 -> 18.5 ms per 10 s, see
+native/ctc_decoder.cpp) plus the chunked single-plane transfer overlap
+below. The remaining bound is host cores: scaling is ~1.7-1.9x on 2
+threads at ~320 audio-s/s per core, so an N-core serving host scales
+accordingly. Fusing the LM into the device kernel was evaluated and
+rejected for this runtime: word-boundary LM scores gate beam ranking
+frame-by-frame, so an exact device path needs either per-frame
+host<->device round trips (tunnel RTT makes this a non-starter) or an
+in-kernel KenLM walk (bit-unaligned binary searches — pointer chasing
+the TPU's vector unit executes orders of magnitude slower than 2 host
+cores).
 """
 
 from __future__ import annotations
