@@ -425,14 +425,39 @@ class HDFSHandler(PathHandler):
                 payload = inner.getvalue()
                 if not binary:
                     payload = payload.encode("utf-8")
-                handler._request(
-                    handler._url(host, key, "CREATE", overwrite="true"),
-                    data=payload,
-                    method="PUT",
-                )
+                handler._create(host, key, payload)
                 super().close()
 
         return _Writer()
+
+    def _create(self, host: str, key: str, payload: bytes) -> None:
+        """Two-step WebHDFS CREATE: the namenode does not accept file
+        data itself — it answers the initial PUT with the datanode URL
+        (307 Location header, or 200 JSON when noredirect=true), and the
+        payload goes to that URL in a second PUT. urllib will not resend
+        a PUT body across a redirect, so both steps are explicit here."""
+        url = self._url(host, key, "CREATE", overwrite="true",
+                        noredirect="true")
+        try:
+            resp = self._request(url, method="PUT")
+            body = resp.read()
+            location = None
+            if body:
+                try:
+                    location = json.loads(body).get("Location")
+                except ValueError:
+                    location = None
+            if not location:
+                location = resp.headers.get("Location")
+        except urllib.error.HTTPError as e:
+            # older namenodes ignore noredirect and answer 307
+            if e.code not in (301, 302, 307):
+                raise
+            location = e.headers.get("Location")
+        if not location:
+            raise IOError(f"WebHDFS CREATE returned no datanode location "
+                          f"for hdfs://{host}{key}")
+        self._request(location, data=payload, method="PUT").read()
 
     def _list(self, path: str) -> List[dict]:
         host, key = self._parse(path)

@@ -244,8 +244,10 @@ def estimate_kneser_ney_lmplz(
         for n in range(2, order + 1):
             t = thresholds[n - 1] if n - 1 < len(thresholds) else 0
             if t:
+                # lmplz --prune drops n-grams with adjusted count <= t
+                # (keeps strictly greater), see kenlm lm/builder docs
                 adjusted[n - 1] = Counter(
-                    {g: c for g, c in adjusted[n - 1].items() if c >= t}
+                    {g: c for g, c in adjusted[n - 1].items() if c > t}
                 )
         # context protection (lmplz keeps every kept n-gram's prefix so
         # the ARPA stays reachable): re-add missing prefixes top-down

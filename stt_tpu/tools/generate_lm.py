@@ -123,7 +123,9 @@ def main(argv=None):
     )
     parser.add_argument(
         "--arpa_prune", default="0",
-        help="'|'-separated per-order minimum counts (lmplz --prune)",
+        help="'|'-separated per-order prune thresholds (lmplz --prune "
+             "semantics: n-grams with adjusted count <= threshold are "
+             "dropped; 0 disables)",
     )
     parser.add_argument(
         "--discount_fallback", action="store_true",

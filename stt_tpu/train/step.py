@@ -276,6 +276,28 @@ def make_train_step_tp(
         param_sharded_flags = jax.tree.map(
             lambda spec: any(ax is not None for ax in spec), specs.params
         )
+        # The replicated-leaf grad treatment below is exact only when
+        # every replicated matrix does a full-width matmul — true for
+        # the n_out logits layer, but NOT for a hidden layer that fails
+        # the divisibility gate while downstream layers shard: each
+        # shard's local cotangent would then be a partial sum that
+        # out_specs silently takes one copy of. Refuse that geometry.
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            state_like.params
+        )[0]:
+            if (
+                getattr(leaf, "ndim", 0) == 2
+                and leaf.shape[1] != local_config.n_out
+                and leaf.shape[1] % n_model
+            ):
+                raise ValueError(
+                    f"make_train_step_tp: hidden matrix {path} with "
+                    f"output dim {leaf.shape[1]} is not divisible by "
+                    f"n_model={n_model}; it would replicate between "
+                    f"sharded layers and its gradient would be a "
+                    f"partial sum. Use a divisible width or fewer "
+                    f"model shards."
+                )
 
         def local_step(state: TrainState, batch: Batch, rng: jax.Array):
             dropout_rng = jax.random.fold_in(rng, state.step)

@@ -154,10 +154,15 @@ class _FakeWebHDFS:
 
     Mirrors the JSON shapes of the real API (GETFILESTATUS, OPEN,
     CREATE, LISTSTATUS, DELETE) so the handler's request/parse logic is
-    exercised end-to-end minus the socket."""
+    exercised end-to-end minus the socket. CREATE enforces the real
+    two-step protocol: the namenode never accepts file data — it hands
+    back a datanode Location (as 200 JSON for noredirect=true, or as a
+    307 redirect in `redirect_mode='307'`), and only a PUT to the
+    datanode host stores bytes."""
 
-    def __init__(self):
+    def __init__(self, redirect_mode="json"):
         self.files = {}  # "/path" -> bytes
+        self.redirect_mode = redirect_mode
 
     def __call__(self, url, data=None, method="GET"):
         import io as _io
@@ -190,6 +195,19 @@ class _FakeWebHDFS:
             return _io.BytesIO(self.files[key])
         if op == "CREATE":
             assert method == "PUT"
+            if parsed.netloc != "dn:9864":
+                # namenode step: MUST NOT carry the file body
+                assert data is None, "namenode CREATE must not carry data"
+                location = urllib.parse.urlunparse(
+                    parsed._replace(netloc="dn:9864")
+                )
+                if self.redirect_mode == "307":
+                    raise urllib.error.HTTPError(
+                        url, 307, "TEMPORARY_REDIRECT",
+                        {"Location": location}, _io.BytesIO(b""),
+                    )
+                return reply({"Location": location})
+            # datanode step: the actual write
             self.files[key] = data or b""
             return _io.BytesIO(b"")
         if op == "LISTSTATUS":
@@ -218,10 +236,11 @@ class _FakeWebHDFS:
         raise AssertionError(f"unexpected op {op}")
 
 
-def test_hdfs_handler_webhdfs(monkeypatch):
+@pytest.mark.parametrize("redirect_mode", ["json", "307"])
+def test_hdfs_handler_webhdfs(monkeypatch, redirect_mode):
     from stt_tpu.io import HDFSHandler
 
-    fake = _FakeWebHDFS()
+    fake = _FakeWebHDFS(redirect_mode)
     handler = HDFSHandler()
     monkeypatch.setattr(handler, "_request", fake)
     register_scheme("hdfs", handler)
