@@ -140,6 +140,91 @@ def bench_beam_scorer_decode():
     )
 
 
+def bench_decoder_head_to_head():
+    """Per-core speed head-to-head: our native decoder
+    (stt_tpu/native/ctc_decoder.cpp) vs the REFERENCE's own C++ decoder
+    compiled from its vendored sources (tools/reference_decoder_oracle).
+    Same emissions, beam 500 / cutoff_top_n 40 / reference scorer —
+    the BASELINE decode config — both single-threaded on the host.
+    Parity of the outputs themselves is gated in
+    tests/test_reference_decoder_oracle.py."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    from reference_decoder_oracle import build_oracle, run_oracle
+
+    from stt_tpu.alphabet import Alphabet
+    from stt_tpu.decode.native import NativeDecoderState, native_available
+    from stt_tpu.decode.scorer_package import KenLMScorer
+
+    if not native_available():
+        print("# decoder head-to-head skipped: native decoder not built",
+              flush=True)
+        return
+    binary = build_oracle()
+    if binary is None:
+        print("# decoder head-to-head skipped: reference oracle build "
+              "failed", flush=True)
+        return
+    alphabet = Alphabet(ALPHABET_TXT)
+    scorer = KenLMScorer(SCORER)
+    alpha, beta = scorer.alpha, scorer.beta
+    rng = np.random.RandomState(0)
+    batch, seconds = 8, 10.0
+    frames = int(seconds / 0.02)
+    probs = speechlike_probs(rng, batch, frames, alphabet.size + 1)
+    utts = [np.ascontiguousarray(probs[b], np.float64) for b in range(batch)]
+    audio_seconds = batch * seconds
+
+    # reference: its own elapsed excludes process startup + scorer load
+    ref = run_oracle(
+        utts, alphabet_path=ALPHABET_TXT, scorer_path=SCORER,
+        alpha=alpha, beta=beta, beam=500, cutoff_top_n=40, reps=1,
+        binary=binary,
+    )  # warm (page in the binary + scorer)
+    ref = run_oracle(
+        utts, alphabet_path=ALPHABET_TXT, scorer_path=SCORER,
+        alpha=alpha, beta=beta, beam=500, cutoff_top_n=40, reps=2,
+        binary=binary,
+    )
+    ref_rate = audio_seconds * ref["reps"] / ref["elapsed"]
+
+    def ours_once():
+        for u in utts:
+            st = NativeDecoderState(
+                alphabet, 500, cutoff_top_n=40, scorer_path=SCORER,
+                alpha=alpha, beta=beta,
+            )
+            st.next(u)
+            st.decode(1)
+
+    ours_once()  # warm (shared scorer cache)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        ours_once()
+        w = time.time() - t0
+        best = w if best is None else min(best, w)
+    our_rate = audio_seconds / best
+    ratio = our_rate / ref_rate
+    print(
+        f"# decoder head-to-head (1 core, beam 500, reference scorer): "
+        f"reference {ref_rate:.1f} vs stt_tpu {our_rate:.1f} audio-s/s "
+        f"({ratio:.2f}x reference)",
+        flush=True,
+    )
+    print(
+        json.dumps({
+            "metric": "decoder_head_to_head_per_core",
+            "value": round(ratio, 3),
+            "unit": "x_reference_decoder",
+            "vs_baseline": round(ratio, 3),
+        }),
+        flush=True,
+    )
+
+
 def bench_device_beam_decode():
     """No-LM beam decode with the fused Pallas expansion/prune kernel
     (ops/beam_kernel.py): the whole per-frame beam step runs on the
@@ -447,6 +532,7 @@ def main():
     only = os.environ.get("STT_TPU_BENCH_ONLY", "")
     benches = [
         ("beam", bench_beam_scorer_decode),
+        ("h2h", bench_decoder_head_to_head),
         ("devbeam", bench_device_beam_decode),
         ("stream", bench_streaming_rtf),
         ("pool", bench_stream_pool_capacity),

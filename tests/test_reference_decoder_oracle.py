@@ -1,0 +1,271 @@
+"""Parity of stt_tpu's CTC beam-search decoders against the REFERENCE's
+own C++ decoder, compiled from its vendored sources as an external
+oracle (tools/reference_decoder_oracle.py — same recipe as the kenlm
+query oracle in test_lm_pipeline.py).
+
+The oracle binary runs the reference's literal
+DecoderState::init/next/decode
+(/root/reference/native_client/ctcdecode/ctc_beam_search_decoder.cpp:22-301)
+with its vendored KenLM + OpenFST + flashlight. Gates here assert
+token/timestep EXACT equality and confidence closeness of both our
+Python oracle (decode/beam.py) and our native decoder
+(native/ctc_decoder.cpp) against it — the literal "decoder-semantics
+parity" artifact of SURVEY.md §7 hard-part #1."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from stt_tpu.alphabet import Alphabet, UTF8Alphabet
+from stt_tpu.decode import ctc_beam_search_decoder
+from stt_tpu.decode.native import NativeDecoderState, native_available
+
+ALPHABET_TXT = "/root/reference/data/alphabet.txt"
+SCORER = "/root/reference/data/smoke_test/pruned_lm.scorer"
+BYTES_SCORER = "/root/reference/data/smoke_test/pruned_lm.bytes.scorer"
+SMOKE_TRANSCRIPT = "she had your dark suit in greasy wash water all year"
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    from reference_decoder_oracle import build_oracle
+
+    path = build_oracle()
+    if path is None:
+        pytest.skip("reference decoder oracle could not be built")
+    return path
+
+
+def run_ref(probs_list, **kw):
+    from reference_decoder_oracle import run_oracle
+
+    return run_oracle(probs_list, **kw)
+
+
+def random_probs(t=60, seed=0, n_class=29):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(t, n_class) * 3
+    p = np.exp(logits)
+    return p / p.sum(-1, keepdims=True)
+
+
+def speechlike(seed, t, n_class=29):
+    """Blank-dominated bursts — real CTC posterior shape."""
+    rng = np.random.RandomState(seed)
+    probs = np.full((t, n_class), 1e-4, np.float64)
+    probs[:, -1] = 1.0
+    i = 0
+    while i < t:
+        i += int(rng.randint(2, 6))
+        if i >= t:
+            break
+        c = int(rng.randint(0, n_class - 1))
+        dom = rng.uniform(0.5, 0.95)
+        probs[i, -1] = 1.0 - dom
+        probs[i, c] = dom
+        c2 = int(rng.randint(0, n_class - 1))
+        probs[i, c2] += (1.0 - dom) * 0.5
+    return probs / probs.sum(-1, keepdims=True)
+
+
+def assert_matches(ref_results, ours, conf_tol=1e-4):
+    assert len(ref_results) == len(ours)
+    for r, o in zip(ref_results, ours):
+        assert list(o.tokens) == r["tokens"]
+        assert list(o.timesteps) == r["timesteps"]
+        assert o.confidence == pytest.approx(r["confidence"], abs=conf_tol)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_no_lm_parity(oracle, seed):
+    probs = random_probs(seed=seed)
+    ref = run_ref(
+        [probs], alphabet_path=ALPHABET_TXT, beam=48, num_results=5,
+        binary=oracle,
+    )["utterances"][0]["results"]
+    alphabet = Alphabet(ALPHABET_TXT)
+    py = ctc_beam_search_decoder(
+        probs, alphabet, 48, num_results=5, implementation="python"
+    )
+    assert_matches(ref, py)
+    if native_available():
+        nat = NativeDecoderState(alphabet, 48)
+        nat.next(probs)
+        assert_matches(ref, nat.decode(5))
+
+
+@pytest.mark.parametrize("seed", [3, 7, 11])
+def test_lm_hotword_parity(oracle, seed):
+    if not os.path.isfile(SCORER):
+        pytest.skip("scorer missing")
+    from stt_tpu.decode.scorer_package import KenLMScorer
+
+    probs = random_probs(seed=seed)
+    hot = {"she": 2.5, "water": -1.0}
+    ref = run_ref(
+        [probs], alphabet_path=ALPHABET_TXT, beam=48, num_results=5,
+        scorer_path=SCORER, alpha=0.75, beta=1.85, hot_words=hot,
+        binary=oracle,
+    )["utterances"][0]["results"]
+    alphabet = Alphabet(ALPHABET_TXT)
+    scorer = KenLMScorer(SCORER, alpha=0.75, beta=1.85)
+    py = ctc_beam_search_decoder(
+        probs, alphabet, 48, scorer=scorer, hot_words=hot, num_results=5,
+        implementation="python",
+    )
+    assert_matches(ref, py, conf_tol=1e-3)
+    if native_available():
+        nat = NativeDecoderState(
+            alphabet, 48, scorer_path=SCORER, alpha=0.75, beta=1.85,
+            hot_words=hot,
+        )
+        nat.next(probs)
+        assert_matches(ref, nat.decode(5), conf_tol=1e-3)
+
+
+def test_cutoff_pruning_parity(oracle):
+    probs = random_probs(seed=4)
+    ref = run_ref(
+        [probs], alphabet_path=ALPHABET_TXT, beam=32, num_results=3,
+        cutoff_prob=0.97, cutoff_top_n=12, binary=oracle,
+    )["utterances"][0]["results"]
+    alphabet = Alphabet(ALPHABET_TXT)
+    py = ctc_beam_search_decoder(
+        probs, alphabet, 32, cutoff_prob=0.97, cutoff_top_n=12,
+        num_results=3, implementation="python",
+    )
+    assert_matches(ref, py)
+
+
+def test_streaming_chunks_parity(oracle):
+    """Chunked next() calls (the streaming path) agree with one-shot —
+    on the reference decoder AND cross-implementation."""
+    if not os.path.isfile(SCORER):
+        pytest.skip("scorer missing")
+    from stt_tpu.decode.scorer_package import KenLMScorer
+
+    probs = random_probs(t=64, seed=9)
+    full = run_ref(
+        [probs], alphabet_path=ALPHABET_TXT, beam=48,
+        scorer_path=SCORER, alpha=0.75, beta=1.85, binary=oracle,
+    )["utterances"][0]["results"]
+    chunked = run_ref(
+        [probs], alphabet_path=ALPHABET_TXT, beam=48, chunk=16,
+        scorer_path=SCORER, alpha=0.75, beta=1.85, binary=oracle,
+    )["utterances"][0]["results"]
+    assert full == chunked
+    alphabet = Alphabet(ALPHABET_TXT)
+    scorer = KenLMScorer(SCORER, alpha=0.75, beta=1.85)
+    state = None
+    from stt_tpu.decode import make_decoder_state
+
+    state = make_decoder_state(
+        alphabet, 48, scorer=scorer, implementation="python"
+    )
+    for t0 in range(0, 64, 16):
+        state.next(probs[t0:t0 + 16])
+    assert_matches(full, state.decode(1), conf_tol=1e-3)
+
+
+def test_speechlike_realistic_parity_beam500(oracle):
+    """The BASELINE decode config — beam 500, cutoff_top_n 40, reference
+    scorer with its shipped alpha/beta — on realistic blank-dominated
+    emissions. This is the configuration the head-to-head bench runs."""
+    if not os.path.isfile(SCORER):
+        pytest.skip("scorer missing")
+    from stt_tpu.decode.scorer_package import KenLMScorer
+
+    scorer = KenLMScorer(SCORER)
+    alpha, beta = scorer.alpha, scorer.beta
+    alphabet = Alphabet(ALPHABET_TXT)
+    for seed in (0, 1):
+        probs = speechlike(seed, t=200)
+        ref = run_ref(
+            [probs], alphabet_path=ALPHABET_TXT, beam=500,
+            cutoff_top_n=40, num_results=3,
+            scorer_path=SCORER, alpha=alpha, beta=beta, binary=oracle,
+        )["utterances"][0]["results"]
+        py = ctc_beam_search_decoder(
+            probs, alphabet, 500, cutoff_top_n=40, scorer=scorer,
+            num_results=3, implementation="python",
+        )
+        assert_matches(ref, py, conf_tol=1e-3)
+        if native_available():
+            nat = NativeDecoderState(
+                alphabet, 500, cutoff_top_n=40, scorer_path=SCORER,
+                alpha=alpha, beta=beta,
+            )
+            nat.next(probs)
+            assert_matches(ref, nat.decode(3), conf_tol=1e-3)
+
+
+def test_bytes_mode_parity(oracle):
+    if not os.path.isfile(BYTES_SCORER):
+        pytest.skip("bytes scorer missing")
+    from stt_tpu.decode.scorer_package import KenLMScorer
+
+    probs = random_probs(t=20, seed=6, n_class=256)
+    ref = run_ref(
+        [probs], utf8=True, beam=16, num_results=2,
+        scorer_path=BYTES_SCORER, alpha=0.75, beta=1.85, binary=oracle,
+    )["utterances"][0]["results"]
+    alphabet = UTF8Alphabet()
+    scorer = KenLMScorer(BYTES_SCORER, alpha=0.75, beta=1.85)
+    py = ctc_beam_search_decoder(
+        probs, alphabet, 16, scorer=scorer, num_results=2,
+        implementation="python",
+    )
+    assert_matches(ref, py, conf_tol=1e-3)
+
+
+def test_smoke_corpus_transcript_parity(oracle):
+    """Emissions synthesized around the LDC93S1 smoke transcript: both
+    decoders must produce the exact reference CI gate string
+    (ci_scripts/asserts.sh) and identical beams."""
+    if not os.path.isfile(SCORER):
+        pytest.skip("scorer missing")
+    from stt_tpu.decode.scorer_package import KenLMScorer
+
+    alphabet = Alphabet(ALPHABET_TXT)
+    labels = [alphabet.encode_single(c) for c in SMOKE_TRANSCRIPT]
+    rng = np.random.RandomState(42)
+    frames = []
+    n_class = alphabet.size + 1
+    for lab in labels:
+        # a couple of blank frames, then a noisy emission burst
+        for _ in range(int(rng.randint(1, 3))):
+            f = np.full(n_class, 1e-5)
+            f[-1] = 1.0
+            frames.append(f)
+        f = np.full(n_class, 1e-5)
+        f[lab] = rng.uniform(0.6, 0.9)
+        f[-1] = 1.0 - f[lab]
+        f[int(rng.randint(0, n_class - 1))] += 0.1
+        frames.append(f)
+    probs = np.stack(frames)
+    probs /= probs.sum(-1, keepdims=True)
+
+    scorer = KenLMScorer(SCORER)
+    ref = run_ref(
+        [probs], alphabet_path=ALPHABET_TXT, beam=500, cutoff_top_n=40,
+        scorer_path=SCORER, alpha=scorer.alpha, beta=scorer.beta,
+        num_results=2, binary=oracle,
+    )["utterances"][0]
+    assert ref["transcripts"][0] == SMOKE_TRANSCRIPT
+    py = ctc_beam_search_decoder(
+        probs, alphabet, 500, cutoff_top_n=40, scorer=scorer,
+        num_results=2, implementation="python",
+    )
+    assert alphabet.decode(py[0].tokens) == SMOKE_TRANSCRIPT
+    assert_matches(ref["results"], py, conf_tol=1e-3)
+    if native_available():
+        nat = NativeDecoderState(
+            alphabet, 500, cutoff_top_n=40, scorer_path=SCORER,
+            alpha=scorer.alpha, beta=scorer.beta,
+        )
+        nat.next(probs)
+        assert_matches(ref["results"], nat.decode(2), conf_tol=1e-3)
