@@ -181,15 +181,22 @@ def _lstm_tp(lstm, x, seq_len, config: ModelConfig):
     c0 = jnp.zeros((b_loc, n_cell), jnp.float32)
     h0 = jnp.zeros((b_loc, n_cell), jnp.float32)
 
-    use_fused = False
-    if jax.devices()[0].platform != "cpu":
+    # STT_TPU_TP_FUSED=1 forces the fused Pallas recurrence even on CPU
+    # meshes (Mosaic interpret mode) so tests and the multichip dryrun
+    # execute the real kernel branch, not only its scan twin
+    import os as _os
+
+    force_fused = bool(_os.environ.get("STT_TPU_TP_FUSED"))
+    use_fused = interpret = False
+    if jax.devices()[0].platform != "cpu" or force_fused:
         from stt_tpu.ops.lstm_train import fused_lstm_train_supported
 
         use_fused = fused_lstm_train_supported(b_loc, n_cell, dtype)
+        interpret = jax.devices()[0].platform == "cpu"
     if use_fused:
         from stt_tpu.ops.lstm_train import _make_recurrence
 
-        rec = _make_recurrence(dtype.name, False)
+        rec = _make_recurrence(dtype.name, interpret)
         hs, cT, hT = rec(x_proj, w_h, c0, h0, seq_k)
     else:
         hs, cT, hT = _recurrence_scan(x_proj, w_h, c0, h0, seq_k, dtype)

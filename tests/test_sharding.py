@@ -150,6 +150,70 @@ def test_tp_shard_map_matches_gspmd():
     )
 
 
+def test_tp_fused_recurrence_branch_executes(monkeypatch):
+    """The fused Pallas recurrence branch of _lstm_tp (the one real
+    multi-chip TPUs take) actually EXECUTES here, via Mosaic interpret
+    mode on the CPU mesh (STT_TPU_TP_FUSED=1), and matches the
+    _recurrence_scan twin the other tests exercise — both forward and
+    through the custom_vjp backward."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from stt_tpu.models import init_params
+    from stt_tpu.parallel.mesh import model_partition_spec
+    from stt_tpu.parallel.tp import apply_model_tp
+
+    # fused geometry gate: n_cell % 128 == 0 and per-shard batch % 8 == 0
+    cfg = ModelConfig(
+        n_input=8, n_context=2, n_hidden=32, n_cell_dim=128, n_out=12,
+        dropout_rates=(0.0,) * 6,
+    )
+    mesh = make_mesh(2, 2)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(2)
+    b, t = 32, 10  # per-data-shard 16, per-model-shard recurrence batch 8
+    feats = jnp.asarray(rng.randn(b, t, cfg.n_input), np.float32)
+    seq = jnp.asarray([t, t - 3] * (b // 2), jnp.int32)
+
+    pspecs = jax.tree.map(lambda l: model_partition_spec(l, 2), params)
+
+    def fwd_loss(p, f, s):
+        logits, state = apply_model_tp(p, f, seq_len=s, config=cfg)
+        return jnp.sum(logits * logits) * 1e-3, (logits, state)
+
+    def run():
+        tp = shard_map(
+            lambda p, f, s: jax.value_and_grad(fwd_loss, has_aux=True)(
+                p, f, s
+            ),
+            mesh=mesh,
+            in_specs=(pspecs, P("data"), P("data")),
+            out_specs=(
+                (P(), (P("data"), (P("data"), P("data")))),
+                pspecs,
+            ),
+            check_vma=False,
+        )
+        return jax.jit(tp)(params, feats, seq)
+
+    (loss_s, (logits_s, state_s)), grads_s = run()
+    monkeypatch.setenv("STT_TPU_TP_FUSED", "1")
+    (loss_f, (logits_f, state_f)), grads_f = run()
+
+    np.testing.assert_allclose(
+        np.asarray(logits_s), np.asarray(logits_f), rtol=1e-5, atol=1e-5
+    )
+    for a, b_ in zip(state_s, state_f):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-5
+        )
+    np.testing.assert_allclose(float(loss_s), float(loss_f), rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_f)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_tp_forward_matches_reference_forward():
     """apply_model_tp on local shards == apply_model on full params."""
     from jax.sharding import PartitionSpec as P
