@@ -75,6 +75,16 @@ class SttConfig:
     # and how many ready batches to assemble ahead of the device
     input_workers: int = -1
     prefetch_batches: int = 2
+    # cache MFCC features (+ encoded labels) after the first epoch so
+    # later epochs skip audio decode + featurize — the reference's
+    # --feature_cache (util/feeding.py:223-224). Path = persist across
+    # runs; with augmentations the first epoch's draws repeat (the
+    # reference warns identically, util/config.py:47-55).
+    feature_cache: str = ""
+    # invalidate the feature cache every N epochs (0 = never), drawing
+    # fresh augmentations — the reference's --cache_for_epochs
+    # (train.py:467-474)
+    cache_for_epochs: int = 0
     # run spectrogram/features-domain graph augmentations on device
     # inside a jitted program (reference applied them in-graph,
     # util/augmentations.py:485-769); host featurization then stops at

@@ -196,6 +196,8 @@ def create_batches(
     prefetch: int = 0,
     device_augment=None,
     device_featurize: bool = False,
+    feature_cache=None,
+    feature_dtype=None,
 ) -> Iterator[Batch]:
     """Yield padded Batch pytrees.
 
@@ -235,6 +237,18 @@ def create_batches(
     SPECTROGRAMS ([B, T, n_bins]) and each yield becomes
     (batch, ids, aug_params); the consumer applies the jitted
     augment+MFCC program before the train step.
+
+    feature_dtype: numpy dtype for the uploaded feature batch (e.g.
+    jnp.bfloat16). A bfloat16-compute train step casts features at its
+    first op anyway, so uploading bf16 halves host->device bytes with
+    identical step numerics; default keeps float32.
+
+    feature_cache (a data.feature_cache.FeatureCache): the reference's
+    --feature_cache (feeding.py:223-224): rows found in the cache skip
+    audio decode + featurize entirely; rows computed this epoch fill it,
+    and completing the epoch finalizes (persists) it. Ignored on the
+    device_featurize / device_augment paths (features never materialize
+    on the host there).
     """
     if isinstance(sources, (list, tuple)) and sources and isinstance(sources[0], Sample):
         samples = list(sources)
@@ -271,11 +285,22 @@ def create_batches(
                 "--graph_augs_on_device for those"
             )
 
+    cache = feature_cache
+    if cache is not None and (
+        device_featurize or device_augment is not None or reverse or limit
+    ):
+        # rows are keyed by position in the canonical (ascending) sort;
+        # the reversed/limited dummy run would mis-key them
+        cache = None
+
     def featurize_row(args):
         offset, batch_index, sample = args
-        clock = clock_base + clock_span * (
-            (batch_index * batch_size + offset) / total
-        )
+        row = batch_index * batch_size + offset
+        clock = clock_base + clock_span * (row / total)
+        if cache is not None:
+            hit = cache.get(row)
+            if hit is not None:
+                return hit[0], hit[1], None
         labels = text_to_char_array(
             sample.transcript, alphabet, context=sample.sample_id
         )
@@ -295,6 +320,8 @@ def create_batches(
         feats = featurize_sample(
             sample, feature_config, augmentations, train_phase, clock
         )
+        if cache is not None:
+            cache.put(row, feats, labels)
         return feats, labels, None
 
     def assemble_audio(rows, audio_list, labels_list, ids):
@@ -369,6 +396,8 @@ def create_batches(
             labels[i, : len(l)] = l
             feature_lengths[i] = f.shape[0]
             label_lengths[i] = len(l)
+        if feature_dtype is not None:
+            features = features.astype(feature_dtype)
         batch = Batch(
             features=jnp.asarray(features),
             feature_lengths=jnp.asarray(feature_lengths),
@@ -390,6 +419,10 @@ def create_batches(
         else:
             for rows in batch_tasks():
                 yield assemble(rows, [featurize_row(r) for r in rows])
+        if cache is not None and row_range is None:
+            # full epoch consumed: freeze + persist (multi-host shards
+            # fill only their rows, so they stay RAM-partial by design)
+            cache.finalize(len(samples))
     finally:
         for aug in augmentations:
             aug.stop()

@@ -199,6 +199,22 @@ def mfcc_from_spectrogram(
     return jnp.matmul(log_mel, dct_t, precision="highest")
 
 
+try:  # scipy's pocketfft does native float32 (half the work + memory of
+    # numpy's always-float64 rfft) and releases the GIL — this is the
+    # data-pipeline hot loop (bench e2e_train_epoch_throughput)
+    from scipy import fft as _sfft
+except ImportError:  # pragma: no cover - scipy is in the image
+    _sfft = None
+
+
+@functools.lru_cache(maxsize=8)
+def _frame_index(n_frames: int, window_samples: int, step_samples: int):
+    return (
+        np.arange(n_frames)[:, None] * step_samples
+        + np.arange(window_samples)[None, :]
+    )
+
+
 def spectrogram_numpy(
     audio: np.ndarray, config: FeatureConfig = FeatureConfig()
 ) -> np.ndarray:
@@ -208,23 +224,28 @@ def spectrogram_numpy(
     window, _, _ = _constants(config)
     n = len(audio)
     n_frames = max(0, (n - config.window_samples) // config.step_samples + 1)
-    idx = (
-        np.arange(n_frames)[:, None] * config.step_samples
-        + np.arange(config.window_samples)[None, :]
-    )
+    idx = _frame_index(n_frames, config.window_samples, config.step_samples)
     frames = np.asarray(audio, np.float32)[idx] * window
-    spec = np.fft.rfft(frames, n=config.fft_length, axis=-1)
-    return (spec.real**2 + spec.imag**2).astype(np.float32)
+    if _sfft is not None:
+        spec = _sfft.rfft(frames, n=config.fft_length, axis=-1)
+    else:
+        spec = np.fft.rfft(frames, n=config.fft_length, axis=-1)
+    power = spec.real.astype(np.float32) ** 2
+    power += spec.imag.astype(np.float32) ** 2
+    return power
 
 
 def mfcc_from_spectrogram_numpy(
     power_spec: np.ndarray, config: FeatureConfig = FeatureConfig()
 ) -> np.ndarray:
+    # float32 throughout — matches the jnp path (precision="highest" f32
+    # MXU passes) tighter than the previous f64 detour did, at half the
+    # cost; TF-parity gated in tests/test_frontend.py
     _, mel_matrix, dct_t = _constants(config)
-    magnitude = np.sqrt(power_spec.astype(np.float64))
-    mel = magnitude @ mel_matrix.astype(np.float64)
-    log_mel = np.log(np.maximum(mel, _FILTERBANK_FLOOR))
-    return (log_mel @ dct_t.astype(np.float64)).astype(np.float32)
+    magnitude = np.sqrt(power_spec.astype(np.float32))
+    mel = magnitude @ mel_matrix
+    log_mel = np.log(np.maximum(mel, _FILTERBANK_FLOOR, dtype=np.float32))
+    return log_mel @ dct_t
 
 
 def audio_to_mfcc_numpy(

@@ -260,6 +260,23 @@ def train(config: SttConfig) -> TrainState:
                 device_aug_pipeline = pipe
                 device_aug_step = pipe.jitted()
 
+    feature_cache = None
+    if config.feature_cache or config.cache_for_epochs:
+        from stt_tpu.data.feature_cache import FeatureCache
+
+        feature_cache = FeatureCache(
+            config.feature_cache, config.cache_for_epochs
+        )
+        if augmentations and config.cache_for_epochs == 0:
+            # reference util/config.py:47-55
+            log_warn(
+                "Due to your feature-cache settings, augmentations of "
+                "the first epoch will be repeated on all following "
+                "epochs. This may lead to unintended over-fitting. You "
+                "can use --cache_for_epochs <n_epochs> to invalidate "
+                "the cache after a given number of epochs."
+            )
+
     def batches(epoch: int, reverse=False, limit=0) -> Iterator[Tuple[Batch, list]]:
         if device_aug_pipeline is not None:
             for batch, ids, aug_params in create_batches(
@@ -304,6 +321,16 @@ def train(config: SttConfig) -> TrainState:
             num_workers=input_workers,
             prefetch=config.prefetch_batches,
             device_featurize=config.device_featurize,
+            feature_cache=feature_cache,
+            # a bf16-compute step casts features at its first op, so
+            # uploading bf16 halves host->device bytes with bit-identical
+            # step numerics (cast-before-upload == cast-on-device)
+            feature_dtype=(
+                jnp.bfloat16
+                if model_config.dtype == jnp.bfloat16
+                and not config.device_featurize
+                else None
+            ),
         ):
             yield put_batch(batch), ids
 
@@ -361,6 +388,9 @@ def train(config: SttConfig) -> TrainState:
         return np.asarray(arr)
 
     for epoch in range(config.epochs):
+        if feature_cache is not None and feature_cache.maybe_invalidate(epoch):
+            log_info(f"Feature cache invalidated at epoch {epoch} "
+                     f"(--cache_for_epochs {config.cache_for_epochs})")
         epoch_losses: List[float] = []
         epoch_audio_s = 0.0
         t0 = time.time()
