@@ -153,6 +153,14 @@ class SttConfig:
     export_model_version: str = "0.0.1"
     export_license: str = ""
     export_language: str = ""
+    # also write a REFERENCE-FORMAT .tflite (named tensors + metadata_*,
+    # compat.tflite_export): the artifact the reference's C++ runtime
+    # and bindings load, so models trained here deploy on its stack
+    export_tflite: bool = False
+    export_file_name: str = "output_graph"
+    # streaming chunk length in timesteps baked into the tflite graph
+    # (reference Config.n_steps / modelstate n_steps, config.py:627-632)
+    n_steps: int = 16
 
     # -- distribution ------------------------------------------------------
     # multi-host: join a jax.distributed job before touching devices

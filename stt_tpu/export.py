@@ -52,6 +52,28 @@ def export(config: SttConfig) -> str:
     )
     write_model_card(config, metadata, out)
     log_info(f"Exported model artifact to {out}")
+    if config.export_tflite:
+        import os
+
+        from stt_tpu.compat.tflite_export import export_reference_tflite
+
+        tflite_path = os.path.join(
+            out, (config.export_file_name or "output_graph") + ".tflite"
+        )
+        export_reference_tflite(
+            jax.device_get(state.params), alphabet, tflite_path,
+            n_steps=config.n_steps,
+            sample_rate=config.feature_config.sample_rate,
+            feature_win_len_ms=config.feature_win_len,
+            feature_win_step_ms=config.feature_win_step,
+            export_beam_width=config.export_beam_width,
+            language=config.export_language,
+            quantize=config.export_quantize,
+        )
+        log_info(
+            f"Exported reference-format TFLite artifact to {tflite_path} "
+            "(loadable by the reference C++ runtime)"
+        )
     if config.export_zip:
         zip_path = package_zip(out)
         log_info(f"Packaged {zip_path}")

@@ -126,6 +126,59 @@ def test_export_and_serve(trained_config, run_dirs):
     assert model.stt(audio) == SMOKE_TRANSCRIPT
 
 
+def test_export_reference_tflite_flag(trained_config, run_dirs):
+    """--export_tflite writes a reference-format artifact whose imported
+    weights produce logits identical to the trained checkpoint's (the
+    'deploy a model trained here on the reference stack' interop path —
+    full round-trip fidelity gated in test_tflite_interop.py)."""
+    import dataclasses
+
+    pytest.importorskip("tensorflow")
+    import jax
+    import jax.numpy as jnp
+
+    from stt_tpu.compat.tflite import read_reference_tflite
+    from stt_tpu.export import export
+    from stt_tpu.models import ModelConfig, apply_model
+    from stt_tpu.artifact import load_artifact, model_config_from_metadata
+    from stt_tpu.data import read_wav
+    from stt_tpu.frontend import audio_to_mfcc_numpy
+
+    config = dataclasses.replace(trained_config, export_tflite=True)
+    out = export(config)
+    tflite_path = os.path.join(out, "output_graph.tflite")
+    assert os.path.isfile(tflite_path)
+    params, meta, geo = read_reference_tflite(tflite_path)
+    assert meta["version"] == 6
+    alphabet = config.resolve_alphabet()
+    from stt_tpu.alphabet import Alphabet
+
+    assert Alphabet.deserialize(
+        meta["alphabet_serialized"]
+    ).labels == alphabet.labels
+    cfg = ModelConfig(
+        n_input=geo["n_input"], n_context=geo["n_context"],
+        n_hidden=geo["n_hidden"], n_cell_dim=geo["n_cell_dim"],
+        n_out=geo["n_out"], dropout_rates=(0.0,) * 6,
+    )
+    audio, _ = read_wav("/root/reference/data/smoke_test/LDC93S1.wav")
+    feats = audio_to_mfcc_numpy(audio)[None]
+    tfl_logits, _ = jax.jit(lambda p, f: apply_model(p, f, config=cfg))(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(feats)
+    )
+    # against the artifact's own (non-tflite) weights: exact round trip
+    aparams, ameta, _ = load_artifact(out)
+    ckpt_logits, _ = jax.jit(
+        lambda p, f: apply_model(
+            p, f, config=model_config_from_metadata(ameta)
+        )
+    )(jax.tree.map(jnp.asarray, aparams), jnp.asarray(feats))
+    np.testing.assert_allclose(
+        np.asarray(tfl_logits), np.asarray(ckpt_logits),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_export_zip_package(trained_config, run_dirs):
     import dataclasses
 
