@@ -37,13 +37,15 @@ def transcribe_file(
     batch_size: int = 8,
     aggressiveness: int = 3,
     beam_width: int = 500,
+    vad_classifier: str = "energy",
 ) -> List[dict]:
     """One audio file -> list of {start, end, transcript} segments."""
     audio, rate = read_wav(audio_path, desired_rate=model.sample_rate())
     fc = model.feature_config
     segments_out = []
     for batch in split_audio_file(
-        audio, rate, batch_size=batch_size, aggressiveness=aggressiveness
+        audio, rate, batch_size=batch_size, aggressiveness=aggressiveness,
+        classifier=vad_classifier,
     ):
         feats = [audio_to_mfcc_numpy(seg, fc) for _, _, seg in batch]
         t_max = max(f.shape[0] for f in feats)
@@ -111,6 +113,12 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--beam_width", type=int, default=500)
     parser.add_argument("--vad_aggressiveness", type=int, default=3)
+    parser.add_argument(
+        "--vad_classifier", default="energy", choices=("energy", "gmm"),
+        help="frame classifier: 'energy' (stationary floors) or 'gmm' "
+             "(webrtcvad-class adaptive sub-band GMM; tracks moving "
+             "noise floors)",
+    )
     parser.add_argument("--force", action="store_true")
     # multi-host: files shard round-robin across processes (the
     # reference ran one transcription process per GPU, transcribe.py:40)
@@ -159,6 +167,7 @@ def main(argv=None):
             scorer=scorer,
             batch_size=args.batch_size,
             aggressiveness=args.vad_aggressiveness,
+            vad_classifier=args.vad_classifier,
             beam_width=args.beam_width,
         )
         with open(tlog, "w") as f:

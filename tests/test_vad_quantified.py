@@ -116,6 +116,132 @@ def test_aggressiveness_monotonic_strictness():
     assert counts[0] > counts[3]  # the knob actually does something
 
 
+def test_gmm_synthetic_boundaries_bounded():
+    """The WebRTC-class adaptive sub-band GMM classifier (the same
+    detector family as webrtcvad's core; exact webrtcvad parity is
+    unattainable in this image — neither the package nor its source
+    exists here, verified) passes the same boundary bounds as the energy
+    classifier on stationary noise."""
+    rng = np.random.RandomState(0)
+    spans = [(1.0, 2.5), (4.0, 6.0), (7.5, 8.2)]
+    audio = synth_audio(spans, 10.0, rng)
+    segments = list(
+        vad_split(audio, RATE, aggressiveness=3, classifier="gmm")
+    )
+    assert len(segments) == len(spans), [
+        (round(ts, 2), round(te, 2)) for _, ts, te in segments
+    ]
+    for (_, ts, te), (t0, t1) in zip(segments, spans):
+        assert abs(ts - t0) <= 0.35, (ts, t0)
+        assert abs(te - t1) <= 0.35, (te, t1)
+    cov, leak = coverage(segments, spans, 10.0)
+    assert cov >= 0.95, cov
+    assert leak <= 0.20, leak
+
+
+def test_gmm_tracks_nonstationary_noise_floor():
+    """Where the GMM earns its keep: the noise floor RISES mid-file
+    (e.g. a fan turning on). The stationary-percentile energy threshold
+    mislabels the louder second-half noise as speech; the adaptive GMM
+    keeps the false-alarm rate bounded."""
+    rng = np.random.RandomState(7)
+    spans = [(1.0, 2.0), (8.0, 9.0)]
+    total_s = 11.0
+    n = int(total_s * RATE)
+    audio = rng.randn(n).astype(np.float32) * (10 ** (-55 / 20.0))
+    # noise floor steps up 20 dB for the second half
+    half = n // 2
+    audio[half:] += rng.randn(n - half).astype(np.float32) * (
+        10 ** (-38 / 20.0)
+    )
+    for t0, t1 in spans:
+        i0, i1 = int(t0 * RATE), int(t1 * RATE)
+        burst = rng.randn(i1 - i0).astype(np.float32)
+        burst = np.convolve(burst, np.ones(5) / 5.0, mode="same")
+        audio[i0:i1] += burst * (10 ** (-18 / 20.0))
+
+    frame_len = RATE * 30 // 1000
+    truth = []
+    n_frames = len(audio) // frame_len
+    for f in range(n_frames):
+        t = f * 0.03
+        truth.append(any(t0 <= t < t1 for t0, t1 in spans))
+    truth = np.asarray(truth)
+
+    from stt_tpu.data.vad import energy_vad_classifier, gmm_vad_classifier
+
+    gmm = np.asarray(gmm_vad_classifier(audio, frame_len, 3))
+    gmm_miss = (~gmm & truth).sum() / max(truth.sum(), 1)
+    assert gmm_miss <= 0.25, gmm_miss
+    # any adaptive detector needs a bounded window to re-learn the floor
+    # after the step (rolling-min window + catch-up); the spec here is
+    # RECOVERY: outside a 2.5 s adaptation budget after the step, the
+    # steady-state false-alarm rate on noise is near zero
+    step_frame = int(5.5 / 0.03)
+    budget = int(2.5 / 0.03)
+    adapting = np.zeros_like(truth)
+    adapting[step_frame : step_frame + budget] = True
+    steady = ~truth & ~adapting
+    gmm_fa_steady = (gmm & steady).sum() / max(steady.sum(), 1)
+    assert gmm_fa_steady <= 0.10, gmm_fa_steady
+    # and it must actually RECOVER within the budget: the last quarter
+    # of the adaptation window is already mostly clear
+    tail = slice(step_frame + 3 * budget // 4, step_frame + budget)
+    assert gmm[tail].mean() <= 0.5, gmm[tail].mean()
+    # the stationary-percentile energy classifier never recovers — its
+    # steady-state FA stays catastrophic; this is the measured gap the
+    # GMM substitute closes
+    e = np.asarray(energy_vad_classifier(audio, frame_len, 3))
+    e_fa_steady = (e & steady).sum() / max(steady.sum(), 1)
+    assert e_fa_steady >= 3 * max(gmm_fa_steady, 0.03), (
+        e_fa_steady, gmm_fa_steady,
+    )
+
+
+def test_gmm_real_speech_coverage_and_silence_rejection(smoke_wav):
+    """On real speech between silence spans: the GMM must cover most of
+    the utterance (it is MORE sensitive inside speech than the energy
+    percentile rule — low-energy phones are still speech) while
+    rejecting the silence."""
+    from stt_tpu.data import read_wav
+    from stt_tpu.data.vad import gmm_vad_classifier
+
+    speech, rate = read_wav(smoke_wav)
+    rng = np.random.RandomState(1)
+    sil = rng.randn(RATE).astype(np.float32) * 10 ** (-55 / 20)
+    audio = np.concatenate([sil, speech, sil])
+    dur = len(speech) / RATE
+    frame_len = RATE * 30 // 1000
+    g = np.asarray(gmm_vad_classifier(audio, frame_len, 2))
+    times = np.arange(len(g)) * 0.03
+    in_speech = (times >= 1.0) & (times < 1.0 + dur)
+    coverage_speech = g[in_speech].mean()
+    fa_silence = g[~in_speech].mean()
+    assert coverage_speech >= 0.75, coverage_speech
+    assert fa_silence <= 0.15, fa_silence
+    # and the energy classifier's calls inside speech are a SUBSET
+    # story: GMM never covers less of the utterance than energy does
+    e = np.asarray(energy_vad_classifier(audio, frame_len, 2))
+    assert coverage_speech >= e[in_speech].mean() - 0.05
+
+
+def test_gmm_aggressiveness_monotonic():
+    rng = np.random.RandomState(2)
+    audio = synth_audio(
+        [(0.5, 1.2), (2.0, 2.4)], 4.0, rng, speech_db=-28.0,
+        silence_db=-42.0,
+    )
+    from stt_tpu.data.vad import gmm_vad_classifier
+
+    frame_len = RATE * 30 // 1000
+    counts = [
+        sum(gmm_vad_classifier(audio, frame_len, aggressiveness=a))
+        for a in range(4)
+    ]
+    assert counts[0] >= counts[1] >= counts[2] >= counts[3]
+    assert counts[0] > counts[3]
+
+
 def test_split_audio_file_batches_and_outliers():
     rng = np.random.RandomState(3)
     # two short utterances and one 12-second "outlier" monologue
