@@ -331,32 +331,57 @@ def bench_stream_pool_capacity():
 
         def run(n):
             streams = [pool.create_stream() for _ in range(n)]
+            lat = []
             t0 = time.time()
             for start in range(0, len(audio), chunk):
                 piece = audio[start : start + chunk]
                 for s in streams:
+                    f0 = time.time()
                     s.feed_audio_content(piece)
+                    lat.append(time.time() - f0)
             for s in streams:
                 s.finish_stream()
-            return time.time() - t0
+            return time.time() - t0, np.asarray(lat)
 
         run(2)  # compile the batched programs
         capacity, best_rate = 0, 0.0
+        cap_p50 = cap_p99 = float("nan")
+        chunk_s = chunk / 16000.0
         for n in (4, 8, 16, 32, 64):
-            wall = run(n)
+            wall, lat = run(n)
             rate = n * seconds / wall
-            if wall <= seconds:
+            p50 = float(np.percentile(lat, 50) * 1e3)
+            p99 = float(np.percentile(lat, 99) * 1e3)
+            # SLO: a stream is real-time when its p99 per-chunk feed
+            # latency stays under the 320 ms chunk cadence AND the run
+            # keeps up in aggregate
+            if wall <= seconds and p99 < chunk_s * 1e3:
                 capacity, best_rate = n, rate
+                cap_p50, cap_p99 = p50, p99
             else:
                 if capacity == 0:
                     capacity, best_rate = 0, rate
+                    cap_p50, cap_p99 = p50, p99
                 break
         emit("stream_pool_capacity", float(capacity))
         print(
             f"# stream pool at capacity: {best_rate:.1f} audio-s/s "
-            f"({capacity} concurrent real-time streams)",
+            f"({capacity} concurrent streams sustained at per-chunk "
+            f"p99 {cap_p99:.0f} ms < {chunk_s * 1e3:.0f} ms cadence)",
             flush=True,
         )
+        for metric, value in (
+            ("stream_chunk_latency_p50_ms", cap_p50),
+            ("stream_chunk_latency_p99_ms", cap_p99),
+        ):
+            print(
+                json.dumps({
+                    "metric": metric, "value": round(value, 1),
+                    "unit": "milliseconds",
+                    "vs_baseline": round(chunk_s * 1e3 / max(value, 1e-9), 2),
+                }),
+                flush=True,
+            )
 
 
 def bench_e2e_train_epoch():
