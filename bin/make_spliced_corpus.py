@@ -98,6 +98,17 @@ def main():
     ap.add_argument("--n_train", type=int, default=288)
     ap.add_argument("--n_dev", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--train_speakers", default="1.0",
+        help="comma-separated speed-perturbation factors for train "
+             "utterances ('synthetic speakers': vocal-tract + rate "
+             "scaling via resampling, the classic speed-perturb recipe)",
+    )
+    ap.add_argument(
+        "--dev_speakers", default="1.0",
+        help="factors for dev — DISJOINT from --train_speakers makes "
+             "the dev set acoustically unseen voices",
+    )
     args, rest = ap.parse_known_args()
     config = initialize_globals_from_cli(rest)
 
@@ -110,7 +121,10 @@ def main():
     gap = np.zeros(int(0.06 * rate), np.float32)
     lead = np.zeros(int(0.15 * rate), np.float32)
 
-    def synth(name, n, include_original=False):
+    from stt_tpu.data.audio import resample
+
+    def synth(name, n, speakers, include_original=False):
+        factors = [float(x) for x in speakers.split(",") if x]
         path = os.path.join(args.out_dir, f"{name}.csv")
         with open(path, "w", encoding="utf-8") as f:
             f.write("wav_filename,wav_filesize,transcript\n")
@@ -124,6 +138,11 @@ def main():
                     pieces.append(clips[w])
                     pieces.append(gap)
                 wav = np.concatenate(pieces)
+                factor = factors[int(rng.randint(len(factors)))]
+                if factor != 1.0:
+                    # "synthetic speaker": resampling by `factor` scales
+                    # pitch AND rate together (Kaldi-style speed perturb)
+                    wav = resample(wav, int(rate * factor), rate)
                 out = os.path.join(
                     args.out_dir, "wav", f"{name}_{i:04d}.wav"
                 )
@@ -132,8 +151,10 @@ def main():
                 f.write(f"{out},{size},{' '.join(seq)}\n")
         return path
 
-    train_csv = synth("train", args.n_train, include_original=True)
-    dev_csv = synth("dev", args.n_dev)
+    train_csv = synth(
+        "train", args.n_train, args.train_speakers, include_original=True
+    )
+    dev_csv = synth("dev", args.n_dev, args.dev_speakers)
     print("wrote", train_csv, "and", dev_csv)
 
 

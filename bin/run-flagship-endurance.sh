@@ -29,8 +29,13 @@ if [ ! -d "$align_ckpt" ]; then
   sh bin/run-ci-ldc93s1_tpu_fused.sh 200
 fi
 
+# v2: "synthetic speakers" via speed perturbation; the DEV factors are
+# disjoint from (and more extreme than) the train factors, so dev WER
+# measures generalization to unseen-voice acoustics, not just unseen
+# word sequences
 python bin/make_spliced_corpus.py \
     --out_dir "$work/corpus" --n_train 288 --n_dev 32 \
+    --train_speakers "0.97,1.0,1.03" --dev_speakers "0.90,0.94,1.06,1.10" \
     --checkpoint_dir "$align_ckpt" \
     --alphabet_config_path "$alphabet" --n_hidden 128
 
@@ -75,3 +80,29 @@ python -m stt_tpu.evaluate \
     | tee "$work/eval_dev.log"
 
 grep -o "WER: [0-9.]*" "$work/eval_train.log" | head -1
+
+# -- bytes-output-mode leg on the russian smoke sample ---------------------
+# (UTF8Alphabet, 256 classes; eval decodes through the reference's
+# pruned_lm.bytes.scorer — the bytes-mode counterpart of the CI runs)
+ru="$smoke/russian_sample_data"
+mkdir -p "$work/ru"
+python -m stt_tpu.train \
+    --train_files "$ru/ru.csv" \
+    --dev_files "$ru/ru.csv" \
+    --bytes_output_mode true \
+    --checkpoint_dir "$work/ru/ckpt" \
+    --n_hidden 512 --epochs "${ru_epochs:-120}" --learning_rate 0.001 \
+    --train_batch_size 1 --dev_batch_size 1 \
+    --compute_dtype bfloat16 \
+    | tee "$work/ru/train.log"
+
+python -m stt_tpu.evaluate \
+    --test_files "$ru/ru.csv" \
+    --checkpoint_dir "$work/ru/ckpt" \
+    --bytes_output_mode true \
+    --n_hidden 512 --compute_dtype bfloat16 \
+    --scorer_path "$smoke/pruned_lm.bytes.scorer" \
+    --test_output_file "$work/ru/eval.json" \
+    | tee "$work/ru/eval.log"
+
+grep -o "WER: [0-9.]*" "$work/ru/eval.log" | head -1

@@ -70,6 +70,8 @@ def evaluate(
     reports = []
     for test_csv in test_files or config.test_files:
         results: List[SampleResult] = []
+        decode_wall = 0.0
+        decode_audio_s = 0.0
         for batch_index, (batch, ids) in enumerate(create_batches(
             [test_csv],
             alphabet,
@@ -85,6 +87,9 @@ def evaluate(
             num_processes = max(
                 1, min(config.test_batch_size, os.cpu_count() or 1)
             )
+            import time as _time
+
+            _decode_t0 = _time.time()
             mode = config.device_decode
             if mode == "auto":
                 mode = "prune"
@@ -130,6 +135,10 @@ def evaluate(
                     cutoff_top_n=config.cutoff_top_n,
                     scorer=scorer,
                 )
+            decode_wall += _time.time() - _decode_t0
+            decode_audio_s += float(lengths.sum()) * (
+                feature_config.step_samples / feature_config.sample_rate
+            )
             labels = np.asarray(batch.labels)
             label_lengths = np.asarray(batch.label_lengths)
             for i, sample_id in enumerate(ids):
@@ -143,6 +152,17 @@ def evaluate(
         calculate_and_print_report(
             results, dataset_name=test_csv, report_count=config.report_count
         )
+        if decode_wall > 0:
+            # REAL-emission decode throughput (scorer path included):
+            # the honest companion of bench.py's synthetic-emission
+            # beam_scorer_decode_throughput
+            log_info(
+                f"Decode throughput on {test_csv}: "
+                f"{decode_audio_s / decode_wall:.1f} audio-s/s "
+                f"({decode_audio_s:.1f} audio-s in {decode_wall:.2f} s, "
+                f"mode={config.device_decode}, "
+                f"beam={config.export_beam_width})"
+            )
         if proc_count > 1:
             from stt_tpu.evaluate_tools import char_distance, word_distance
             from stt_tpu.parallel.distributed import merge_wer_counters
