@@ -26,7 +26,9 @@ epochs="${epochs:-30}"
 mkdir -p "$work"
 
 if [ ! -d "$align_ckpt" ]; then
-  sh bin/run-ci-ldc93s1_tpu_fused.sh 200
+  # the ci script also honors $work — run it in its OWN work dir so the
+  # alignment checkpoint lands where align_ckpt points
+  work=/tmp/ci_ldc93s1_tpu_fused sh bin/run-ci-ldc93s1_tpu_fused.sh 200
 fi
 
 # v2: "synthetic speakers" via speed perturbation; the DEV factors are
