@@ -214,6 +214,57 @@ def bench_decoder_head_to_head():
         f"({ratio:.2f}x reference)",
         flush=True,
     )
+
+    # full-host (2-core) comparison: the reference decodes its batch on a
+    # ThreadPool (ctc_beam_search_decoder.cpp:625-652) — equivalently,
+    # two oracle processes on disjoint halves; ours runs the same split
+    # on a 2-thread pool (the GIL-releasing native calls)
+    import subprocess as _sp
+    import threading
+
+    def ref_half(half, out):
+        r = run_oracle(
+            half, alphabet_path=ALPHABET_TXT, scorer_path=SCORER,
+            alpha=alpha, beta=beta, beam=500, cutoff_top_n=40, reps=1,
+            binary=binary,
+        )
+        out.append(r["elapsed"])
+
+    halves = [utts[: batch // 2], utts[batch // 2 :]]
+    t0 = time.time()
+    outs = [[], []]
+    threads = [
+        threading.Thread(target=ref_half, args=(h, o))
+        for h, o in zip(halves, outs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    ref2_wall = time.time() - t0
+    ref2_rate = audio_seconds / ref2_wall
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def ours_one(u):
+        st = NativeDecoderState(
+            alphabet, 500, cutoff_top_n=40, scorer_path=SCORER,
+            alpha=alpha, beta=beta,
+        )
+        st.next(u)
+        st.decode(1)
+
+    with ThreadPoolExecutor(2) as pool:
+        list(pool.map(ours_one, utts))  # warm
+        t0 = time.time()
+        list(pool.map(ours_one, utts))
+        ours2_rate = audio_seconds / (time.time() - t0)
+    print(
+        f"# decoder head-to-head (2 cores): reference {ref2_rate:.1f} "
+        f"(2 processes incl. spawn+scorer-load overhead) vs stt_tpu "
+        f"{ours2_rate:.1f} audio-s/s ({ours2_rate / ref2_rate:.2f}x)",
+        flush=True,
+    )
     print(
         json.dumps({
             "metric": "decoder_head_to_head_per_core",
