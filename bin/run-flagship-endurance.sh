@@ -56,7 +56,7 @@ python -m stt_tpu.train \
     --train_files "$work/corpus/train_augmented.sdb,$work/corpus/train.csv" \
     --dev_files "$work/corpus/dev.csv" \
     --alphabet_config_path "$alphabet" \
-    --checkpoint_dir "$work/ckpt" \
+    --checkpoint_dir "$work/ckpt_flagship" \
     --n_hidden 2048 --epochs "$epochs" --learning_rate 0.0002 \
     --train_batch_size 16 --dev_batch_size 16 \
     --compute_dtype bfloat16 \
@@ -65,7 +65,7 @@ python -m stt_tpu.train \
 
 python -m stt_tpu.evaluate \
     --test_files "$work/corpus/train.csv" \
-    --checkpoint_dir "$work/ckpt" \
+    --checkpoint_dir "$work/ckpt_flagship" \
     --alphabet_config_path "$alphabet" \
     --n_hidden 2048 --compute_dtype bfloat16 \
     --scorer_path "$smoke/pruned_lm.scorer" \
@@ -74,7 +74,7 @@ python -m stt_tpu.evaluate \
 
 python -m stt_tpu.evaluate \
     --test_files "$work/corpus/dev.csv" \
-    --checkpoint_dir "$work/ckpt" \
+    --checkpoint_dir "$work/ckpt_flagship" \
     --alphabet_config_path "$alphabet" \
     --n_hidden 2048 --compute_dtype bfloat16 \
     --scorer_path "$smoke/pruned_lm.scorer" \
@@ -93,7 +93,7 @@ python -m stt_tpu.train \
     --dev_files "$ru/ru.csv" \
     --bytes_output_mode true \
     --checkpoint_dir "$work/ru/ckpt" \
-    --n_hidden 512 --epochs "${ru_epochs:-120}" --learning_rate 0.001 \
+    --n_hidden 512 --epochs "${ru_epochs:-800}" --learning_rate 0.002 \
     --train_batch_size 1 --dev_batch_size 1 \
     --compute_dtype bfloat16 \
     | tee "$work/ru/train.log"
