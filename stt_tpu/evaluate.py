@@ -70,7 +70,7 @@ def evaluate(
     reports = []
     for test_csv in test_files or config.test_files:
         results: List[SampleResult] = []
-        decode_wall = 0.0
+        decode_walls: List[float] = []
         decode_audio_s = 0.0
         for batch_index, (batch, ids) in enumerate(create_batches(
             [test_csv],
@@ -135,7 +135,7 @@ def evaluate(
                     cutoff_top_n=config.cutoff_top_n,
                     scorer=scorer,
                 )
-            decode_wall += _time.time() - _decode_t0
+            decode_walls.append(_time.time() - _decode_t0)
             decode_audio_s += float(lengths.sum()) * (
                 feature_config.step_samples / feature_config.sample_rate
             )
@@ -152,17 +152,32 @@ def evaluate(
         calculate_and_print_report(
             results, dataset_name=test_csv, report_count=config.report_count
         )
-        if decode_wall > 0:
+        if decode_walls:
             # REAL-emission decode throughput (scorer path included):
             # the honest companion of bench.py's synthetic-emission
-            # beam_scorer_decode_throughput
-            log_info(
+            # beam_scorer_decode_throughput. steady-state drops the
+            # slowest batch — on the tunneled runtime that batch carries
+            # the jit compile of the device-prune program
+            decode_wall = sum(decode_walls)
+            steady = decode_wall - (
+                max(decode_walls) if len(decode_walls) > 1 else 0.0
+            )
+            steady_audio = decode_audio_s * (
+                1.0 - 1.0 / len(decode_walls)
+            ) if len(decode_walls) > 1 else decode_audio_s
+            msg = (
                 f"Decode throughput on {test_csv}: "
                 f"{decode_audio_s / decode_wall:.1f} audio-s/s "
                 f"({decode_audio_s:.1f} audio-s in {decode_wall:.2f} s, "
                 f"mode={config.device_decode}, "
                 f"beam={config.export_beam_width})"
             )
+            if len(decode_walls) > 1 and steady > 0:
+                msg += (
+                    f"; steady-state {steady_audio / steady:.1f} "
+                    f"audio-s/s (excl. compile batch)"
+                )
+            log_info(msg)
         if proc_count > 1:
             from stt_tpu.evaluate_tools import char_distance, word_distance
             from stt_tpu.parallel.distributed import merge_wer_counters
