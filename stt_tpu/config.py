@@ -61,6 +61,10 @@ class SttConfig:
     beta1: float = 0.9
     beta2: float = 0.999
     epsilon: float = 1e-8
+    # reset the (checkpoint-restored, possibly plateau-reduced) learning
+    # rate back to --learning_rate when resuming (reference
+    # util/config.py:785 / util/checkpoints.py:28-35)
+    force_initialize_learning_rate: bool = False
     dropout_rate: float = 0.05
     dropout_rate2: float = -1.0  # <0: same as dropout_rate
     dropout_rate3: float = -1.0

@@ -141,6 +141,16 @@ def train(config: SttConfig) -> TrainState:
         else (template, "init")
     )
     log_info(f"Initialized model from '{method}'")
+    if method != "init" and config.force_initialize_learning_rate:
+        # reference --force_initialize_learning_rate
+        # (util/checkpoints.py:28-35): the restored optimizer state
+        # carries the (possibly plateau-reduced) old LR; reset it to the
+        # CLI value
+        state = _set_learning_rate(state, config.learning_rate)
+        log_info(
+            f"Re-initialized learning rate to {config.learning_rate} "
+            "(--force_initialize_learning_rate)"
+        )
 
     n_devices = len(jax.devices()) // config.n_model_parallel
     if proc_count > 1:

@@ -67,6 +67,25 @@ def test_train_then_resume(trained_config, run_dirs):
     # resumed step counter continues past the first run
     assert int(state.step) > 100
 
+    # --force_initialize_learning_rate (reference util/checkpoints.py:
+    # 28-35): a resume normally KEEPS the checkpoint-restored LR; the
+    # flag resets it to the CLI value
+    from stt_tpu.train.trainer import _get_learning_rate
+
+    kept = train(
+        dataclasses.replace(
+            trained_config, epochs=1, alphabet=None, learning_rate=0.00017
+        )
+    )
+    assert _get_learning_rate(kept) == pytest.approx(0.003)
+    forced = train(
+        dataclasses.replace(
+            trained_config, epochs=1, alphabet=None, learning_rate=0.00017,
+            force_initialize_learning_rate=True,
+        )
+    )
+    assert _get_learning_rate(forced) == pytest.approx(0.00017)
+
 
 def test_evaluate_reports_zero_wer(trained_config, capsys):
     from stt_tpu.evaluate import evaluate
