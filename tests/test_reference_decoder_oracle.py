@@ -222,6 +222,64 @@ def test_bytes_mode_parity(oracle):
     assert_matches(ref, py, conf_tol=1e-3)
 
 
+def test_bytes_mode_own_pipeline_scorer_parity(oracle, tmp_path):
+    """Full own-tooling bytes-mode loop, refereed by the reference
+    decoder: generate_lm (char-unit corpus, the reference's bytes-mode
+    vocabulary design — its shipped pruned_lm.bytes.scorer FST admits
+    exactly the single-character units a-z') -> generate_scorer_package
+    (force_bytes) -> decode. Bytes-mode tries cannot emit the space
+    byte (path_trie.cpp:54-66 rejects arcs absent from the unit set —
+    bytes mode targets spaceless scripts), so the gate is the SPACELESS
+    transcript, identical between our decoder and the reference's."""
+    import subprocess
+
+    from stt_tpu.decode.scorer_package import KenLMScorer
+
+    text = "she had your dark suit"
+    corpus = tmp_path / "chars.txt"
+    corpus.write_text(
+        "\n".join(" ".join(c for c in text if c != " ") for _ in range(8))
+    )
+    subprocess.run(
+        [sys.executable, "-m", "stt_tpu.tools.generate_lm",
+         "--input_txt", str(corpus), "--output_dir", str(tmp_path),
+         "--top_k", "100", "--arpa_order", "3"],
+        check=True, capture_output=True,
+    )
+    package = str(tmp_path / "bytes.scorer")
+    subprocess.run(
+        [sys.executable, "-m", "stt_tpu.tools.generate_scorer_package",
+         "--lm", str(tmp_path / "lm.binary"),
+         "--vocab", str(tmp_path / "vocab-100.txt"),
+         "--package", package, "--default_alpha", "0.5",
+         "--default_beta", "0.5", "--force_bytes_output_mode"],
+        check=True, capture_output=True,
+    )
+    alphabet = UTF8Alphabet()
+    frames = []
+    for b in text.encode("utf-8"):
+        f = np.full(256, 1e-8)
+        f[-1] = 1.0
+        frames.append(f / f.sum())
+        f = np.full(256, 1e-8)
+        f[b - 1] = 0.99
+        f[-1] = 0.01
+        frames.append(f / f.sum())
+    probs = np.stack(frames)
+    scorer = KenLMScorer(package)
+    ours = ctc_beam_search_decoder(
+        probs, alphabet, 64, scorer=scorer, num_results=2,
+        implementation="python",
+    )
+    assert alphabet.decode(ours[0].tokens) == text.replace(" ", "")
+    ref = run_ref(
+        [probs], utf8=True, beam=64, num_results=2, scorer_path=package,
+        alpha=0.5, beta=0.5, binary=oracle,
+    )["utterances"][0]
+    assert ref["transcripts"][0] == text.replace(" ", "")
+    assert_matches(ref["results"], ours, conf_tol=1e-3)
+
+
 def test_smoke_corpus_transcript_parity(oracle):
     """Emissions synthesized around the LDC93S1 smoke transcript: both
     decoders must produce the exact reference CI gate string
