@@ -280,6 +280,81 @@ def test_bytes_mode_own_pipeline_scorer_parity(oracle, tmp_path):
     assert_matches(ref["results"], ours, conf_tol=1e-3)
 
 
+def test_flashlight_lexfree_mechanics_parity(oracle):
+    """Our flashlight-style lexicon-free decoder vs the REFERENCE's
+    FlashlightDecoderState (LexiconFree/Single/CTC, vendored flashlight
+    sources) with the LM neutralized (alpha=0), over 12 fuzz seeds: the
+    top-1 score is EXACT on every seed, and the collapsed token
+    sequence is identical except where two co-optimal paths tie at the
+    same exact score (the two implementations break ties by different
+    internal orderings — measured 10/12 identical, 2/12 exact-score
+    ties). Boundary silences are stripped on both sides: the reference
+    reports per-frame tokens with its root hyp excluded, ours collapses
+    against the silence-seeded root.
+
+    Known gap (documented, not gated): with alpha>0 the aggregate LM
+    scores differ — our lexicon-free LM walk scores more pessimistically
+    than Scorer::score's BaseScore chain on unk-heavy token streams; the
+    primary scorer path (DecoderState) is exactly parity-gated above."""
+    import json
+    import subprocess
+    import tempfile
+
+    from stt_tpu.decode.flashlight import LexiconFreeDecoder
+
+    alphabet = Alphabet(ALPHABET_TXT)
+    C = alphabet.size + 1
+
+    def collapse(toks):
+        out, prev = [], None
+        for t in toks:
+            if t != C - 1 and t != prev:
+                out.append(t)
+            prev = t
+        return out
+
+    def strip_sil(x):
+        i, j = 0, len(x)
+        while i < j and x[i] == alphabet.space_index:
+            i += 1
+        while j > i and x[j - 1] == alphabet.space_index:
+            j -= 1
+        return x[i:j]
+
+    token_matches = 0
+    for seed in range(12):
+        rng = np.random.RandomState(seed)
+        logits = rng.randn(60, C).astype(np.float64) * 2
+        logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        with tempfile.TemporaryDirectory() as td:
+            f = os.path.join(td, "u.f64")
+            np.ascontiguousarray(logp).tofile(f)
+            r = subprocess.run(
+                [oracle, "--alphabet", ALPHABET_TXT, "--classes", str(C),
+                 "--beam", "32", "--cutoff_top_n", "10",
+                 "--scorer", SCORER, "--alpha", "0", "--beta", "0",
+                 "--flashlight", "--num_results", "1", f + ":60"],
+                capture_output=True, text=True,
+            )
+            assert r.returncode == 0, r.stderr[-300:]
+            ref = json.loads(r.stdout)["utterances"][0]["results"][0]
+
+        dec = LexiconFreeDecoder(
+            alphabet, lm=None, beam_size=32, beam_size_token=10
+        )
+        dec.decode_step(logp)
+        dec.decode_end()
+        res = dec.results(1)[0]
+        # score parity is unconditional and EXACT
+        assert res.score == pytest.approx(ref["score"], abs=1e-6), seed
+        assert res.am_score == pytest.approx(ref["am_score"], abs=1e-6)
+        if strip_sil(collapse(ref["tokens"])) == strip_sil(
+            collapse(list(res.tokens))
+        ):
+            token_matches += 1
+    assert token_matches >= 10, token_matches
+
+
 def test_smoke_corpus_transcript_parity(oracle):
     """Emissions synthesized around the LDC93S1 smoke transcript: both
     decoders must produce the exact reference CI gate string

@@ -17,6 +17,7 @@
 // of the decode loop (file IO and scorer load excluded).
 
 #include <chrono>
+#include <cmath>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -30,6 +31,7 @@
 #include "ctc_beam_search_decoder.h"
 #include "alphabet.h"
 #include "scorer.h"
+#include "flashlight/lib/text/dictionary/Dictionary.h"
 
 namespace {
 
@@ -77,6 +79,8 @@ int main(int argc, char **argv) {
   double alpha = 0.0, beta = 0.0, cutoff_prob = 1.0;
   size_t beam = 500, cutoff_top_n = 40, num_results = 1;
   int reps = 1, chunk = 0, classes = 0;
+  bool flashlight = false, fl_log_add = false;
+  double fl_beam_threshold = 25.0, fl_sil_score = 0.0;
   std::unordered_map<std::string, float> hot_words;
   std::vector<std::pair<std::string, int>> utt_specs;
 
@@ -101,6 +105,11 @@ int main(int argc, char **argv) {
     else if (a == "--reps") reps = atoi(next().c_str());
     else if (a == "--chunk") chunk = atoi(next().c_str());
     else if (a == "--classes") classes = atoi(next().c_str());
+    else if (a == "--flashlight") flashlight = true;
+    else if (a == "--fl_beam_threshold")
+      fl_beam_threshold = atof(next().c_str());
+    else if (a == "--fl_sil_score") fl_sil_score = atof(next().c_str());
+    else if (a == "--fl_log_add") fl_log_add = true;
     else if (a == "--hot") {
       std::string kv = next();
       size_t eq = kv.rfind('=');
@@ -147,6 +156,73 @@ int main(int argc, char **argv) {
     u.probs = read_f64(spec.first, static_cast<size_t>(u.t) * classes);
     total_t += u.t;
     utts.push_back(std::move(u));
+  }
+
+  if (flashlight) {
+    // reference FlashlightDecoderState, lexicon-free + Single-token
+    // (ctc_beam_search_decoder.cpp:395-505): lm_tokens = the AM units
+    fl::lib::text::Dictionary lm_tokens;
+    for (size_t i = 0; i < alphabet->GetSize(); ++i)
+      lm_tokens.addEntry(alphabet->DecodeSingle(i));
+    std::string out = "{\"utterances\":[";
+    for (size_t ui = 0; ui < utts.size(); ++ui) {
+      FlashlightDecoderState fstate;
+      fstate.init(*alphabet, beam, fl_beam_threshold, cutoff_top_n,
+                  scorer, FlashlightDecoderState::Single, lm_tokens,
+                  FlashlightDecoderState::LexiconFree, fl_sil_score,
+                  fl_log_add, FlashlightDecoderState::CTC, {});
+      const Utt &u = utts[ui];
+      int step = chunk > 0 ? chunk : u.t;
+      for (int t0 = 0; t0 < u.t; t0 += step) {
+        int n = std::min(step, u.t - t0);
+        fstate.next(u.probs.data() + static_cast<size_t>(t0) * classes,
+                    n, classes);
+      }
+      auto outs = fstate.decode(num_results);
+      if (ui) out += ",";
+      out += "{\"results\":[";
+      char tmp2[256];
+      auto fin = [](double v) {  // JSON has no inf/nan
+        return std::isfinite(v) ? v : (v > 0 ? 1e308 : -1e308);
+      };
+      for (size_t ri = 0; ri < outs.size(); ++ri) {
+        if (ri) out += ",";
+        snprintf(tmp2, sizeof(tmp2),
+                 "{\"score\":%.17g,\"am_score\":%.17g,\"lm_score\":%.17g,"
+                 "\"tokens\":[",
+                 fin(outs[ri].aggregate_score),
+                 fin(outs[ri].acoustic_model_score),
+                 fin(outs[ri].language_model_score));
+        out += tmp2;
+        for (size_t i = 0; i < outs[ri].tokens.size(); ++i) {
+          snprintf(tmp2, sizeof(tmp2), i ? ",%d" : "%d",
+                   outs[ri].tokens[i]);
+          out += tmp2;
+        }
+        out += "],\"words\":[";
+        for (size_t i = 0; i < outs[ri].words.size(); ++i) {
+          if (i) out += ",";
+          out += "\"";
+          for (unsigned char c : outs[ri].words[i]) {
+            if (c == '"' || c == '\\') {
+              out += '\\';
+              out += static_cast<char>(c);
+            } else if (c < 0x20 || c >= 0x7f) {
+              snprintf(tmp2, sizeof(tmp2), "\\u%04x", c);
+              out += tmp2;
+            } else {
+              out += static_cast<char>(c);
+            }
+          }
+          out += "\"";
+        }
+        out += "]}";
+      }
+      out += "]}";
+    }
+    out += "]}\n";
+    fwrite(out.data(), 1, out.size(), stdout);
+    return 0;
   }
 
   std::vector<std::vector<Output>> results(utts.size());
