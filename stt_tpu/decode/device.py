@@ -830,6 +830,18 @@ def ctc_beam_search_decoder_batch_pruned(
     on_device = isinstance(probs_batch, jax.Array) and getattr(
         probs_batch, "ndim", 0
     ) == 3
+    if on_device:
+        # pruning only pays when it SHRINKS the transfer: the packed
+        # plane carries K+2 floats/frame vs C for the raw probabilities.
+        # At the english geometry (C=29, K=40) the "pruned" plane is
+        # LARGER than the full one and the chunked prune program adds
+        # dispatch serialization — one bulk fetch + host-side pruning is
+        # ~40% faster end-to-end (measured on the tunneled v5e). Bytes
+        # mode (C=256) and emission-heavy models keep the device prune.
+        C = int(probs_batch.shape[2])
+        if cutoff_top_n + 2 >= C:
+            probs_batch = np.asarray(probs_batch, np.float32)
+            on_device = False
     if not on_device:
         if hasattr(probs_batch, "ndim") and getattr(probs_batch, "ndim", 0) == 3:
             batch = np.asarray(probs_batch, np.float32)
