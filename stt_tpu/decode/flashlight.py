@@ -36,7 +36,11 @@ LOG10_E = math.log10(math.e)
 
 class WordLM:
     """Stateful word-level LM over a KenLMModel (flashlight KenLM adapter:
-    state = context word ids; scores in natural log)."""
+    state = context word ids). Scores are RAW log10, exactly what the
+    reference's Scorer::score hands flashlight (scorer.cpp:452-464
+    returns BaseScore untransformed) — lmWeight/alpha values are tuned
+    for that unit, and the lexicon-free parity gate vs the compiled
+    FlashlightDecoderState depends on it."""
 
     def __init__(self, kenlm_model):
         self.lm = kenlm_model
@@ -46,10 +50,10 @@ class WordLM:
 
     def score(self, state: Tuple[int, ...], word_id: int):
         new_state = (state + (word_id,))[-(self.lm.order - 1) :]
-        return new_state, self.lm.score(list(state), word_id) / LOG10_E
+        return new_state, self.lm.score(list(state), word_id)
 
     def finish(self, state: Tuple[int, ...]):
-        return state, self.lm.score(list(state), self.lm.eos_id) / LOG10_E
+        return state, self.lm.score(list(state), self.lm.eos_id)
 
 
 # ------------------------------------------------------------------- trie

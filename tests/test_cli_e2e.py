@@ -286,7 +286,11 @@ def test_evaluate_flashlight(trained_config, capsys):
     )
     from stt_tpu.text import levenshtein
 
-    [results] = evaluate_flashlight(config, beam_size=128, word_score=3.0)
+    # LM scores are raw log10 (the reference's flashlight unit); weights
+    # sized for that scale
+    [results] = evaluate_flashlight(
+        config, beam_size=128, lm_weight=2.0, word_score=1.0
+    )
     # the toy overfit model's tail confidence varies; the lexicon decoder
     # must recover the transcript within one word (same tolerance as the
     # decoder unit gates)

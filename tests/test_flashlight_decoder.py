@@ -60,7 +60,9 @@ def test_lexicon_decoder_exact_transcript(smoke_logprobs, scorer):
     log_probs, alphabet = smoke_logprobs
     results = flashlight_beam_search_decoder(
         log_probs, alphabet, scorer, decoder_type="lexicon",
-        beam_size=128, lm_weight=1.0, word_score=3.0, num_results=3,
+        # LM scores are raw log10 (the reference's flashlight unit,
+        # scorer.cpp:452-464); weights sized accordingly
+        beam_size=128, lm_weight=2.0, word_score=1.0, num_results=3,
     )
     # the toy overfit model's tail confidence varies run to run; the
     # lexicon decoder must recover the transcript within one word

@@ -292,10 +292,13 @@ def test_flashlight_lexfree_mechanics_parity(oracle):
     reports per-frame tokens with its root hyp excluded, ours collapses
     against the silence-seeded root.
 
-    Known gap (documented, not gated): with alpha>0 the aggregate LM
-    scores differ — our lexicon-free LM walk scores more pessimistically
-    than Scorer::score's BaseScore chain on unk-heavy token streams; the
-    primary scorer path (DecoderState) is exactly parity-gated above."""
+    With alpha>0 (see test_flashlight_lexfree_with_lm_parity) our
+    log10-unit WordLM matches the reference EXACTLY on half the seeds;
+    the rest differ by <1 in aggregate score, caused by KenLM's
+    stateful context truncation (its State drops context words that
+    cannot extend; our tuple-state keeps the full order-1 window and
+    recomputes backoffs ForgotState-style). The primary scorer path
+    (DecoderState) is exactly parity-gated above."""
     import json
     import subprocess
     import tempfile
@@ -353,6 +356,76 @@ def test_flashlight_lexfree_mechanics_parity(oracle):
         ):
             token_matches += 1
     assert token_matches >= 10, token_matches
+
+
+def test_flashlight_lexfree_with_lm_parity(oracle, tmp_path):
+    """Lexicon-free decode WITH an LM (alpha=0.5, a char-unit scorer
+    built by our own pipeline) vs the reference FlashlightDecoderState:
+    our WordLM returns raw log10 BaseScore values (the reference's unit,
+    scorer.cpp:452-464). Exact score+token parity on >= half the fuzz
+    seeds; the remainder within |d score| < 1.0 from KenLM's stateful
+    context-truncation semantics (see mechanics test docstring)."""
+    import json
+    import subprocess
+    import tempfile
+
+    from stt_tpu.decode.flashlight import LexiconFreeDecoder, WordLM
+    from stt_tpu.decode.scorer_package import KenLMScorer
+
+    text = "she had your dark suit in greasy wash water all year"
+    corpus = tmp_path / "chars.txt"
+    corpus.write_text(
+        "\n".join(" ".join(c for c in text if c != " ") for _ in range(8))
+    )
+    subprocess.run(
+        [sys.executable, "-m", "stt_tpu.tools.generate_lm",
+         "--input_txt", str(corpus), "--output_dir", str(tmp_path),
+         "--top_k", "100", "--arpa_order", "3"],
+        check=True, capture_output=True,
+    )
+    package = str(tmp_path / "char.scorer")
+    subprocess.run(
+        [sys.executable, "-m", "stt_tpu.tools.generate_scorer_package",
+         "--lm", str(tmp_path / "lm.binary"),
+         "--vocab", str(tmp_path / "vocab-100.txt"),
+         "--package", package, "--alphabet", ALPHABET_TXT,
+         "--default_alpha", "0.5", "--default_beta", "0.0"],
+        check=True, capture_output=True,
+    )
+    alphabet = Alphabet(ALPHABET_TXT)
+    C = alphabet.size + 1
+    scorer = KenLMScorer(package)
+    kenlm_obj = getattr(scorer, "model", None) or getattr(scorer, "lm")
+
+    exact = 0
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        logits = rng.randn(60, C).astype(np.float64) * 2
+        logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        with tempfile.TemporaryDirectory() as td:
+            f = os.path.join(td, "u.f64")
+            np.ascontiguousarray(logp).tofile(f)
+            r = subprocess.run(
+                [oracle, "--alphabet", ALPHABET_TXT, "--classes", str(C),
+                 "--beam", "32", "--cutoff_top_n", "10",
+                 "--scorer", package, "--alpha", "0.5", "--beta", "0",
+                 "--flashlight", "--num_results", "1", f + ":60"],
+                capture_output=True, text=True,
+            )
+            assert r.returncode == 0, r.stderr[-300:]
+            ref = json.loads(r.stdout)["utterances"][0]["results"][0]
+        dec = LexiconFreeDecoder(
+            alphabet, lm=WordLM(kenlm_obj), beam_size=32,
+            beam_size_token=10, lm_weight=0.5,
+        )
+        dec.decode_step(logp)
+        dec.decode_end()
+        res = dec.results(1)[0]
+        d = abs(ref["score"] - res.score)
+        assert d < 1.0, (seed, d)
+        if d < 1e-6 and abs(ref["lm_score"] - res.lm_score) < 1e-6:
+            exact += 1
+    assert exact >= 4, exact
 
 
 def test_smoke_corpus_transcript_parity(oracle):
